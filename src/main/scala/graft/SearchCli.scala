@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.PagesCorpus
+import graft.index.IndexBuilder
+import graft.query.Bm25Query
+
+/** End-to-end CLI: generate (or reuse) a pages corpus, build the inverted
+  * index, serve BM25 top-k queries. The Spark analog of the reference's
+  * server binary surface (/root/reference/src/server/service.rs:210-310 —
+  * we print hits instead of streaming them over gRPC).
+  *
+  * Usage:
+  *   runMain graft.SearchCli build <nDocs> <indexDir>
+  *   runMain graft.SearchCli query <indexDir> <k> <mode:and|or> <query...>
+  */
+object SearchCli {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-search-cli")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  private def run(spark: SparkSession, args: Array[String]): Unit = args.toList match {
+    case "build" :: nDocs :: dir :: Nil =>
+      val t0 = System.nanoTime()
+      val raw = PagesCorpus.pages(spark, nDocs.toLong)
+      val extracted = IndexBuilder.extractPages(raw.toDF())
+      val idx = IndexBuilder.build(spark, extracted, dir)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val s = idx.stats
+      println(f"[build] docs=${s.num_docs} terms=${s.num_terms} " +
+        f"postings=${s.num_postings} avgdl=${s.avgdl}%.2f " +
+        f"wall=${secs}%.1fs docs_per_sec=${s.num_docs / secs}%.0f")
+    case "query" :: dir :: k :: mode :: rest if rest.nonEmpty =>
+      val idx = IndexBuilder.load(spark, dir)
+      val q = rest.mkString(" ")
+      val conj = mode != "or"
+      val t0 = System.nanoTime()
+      val hits = Bm25Query.searchBlocks(idx, q, k.toInt, conj).collect()
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[query] q='$q' mode=$mode k=$k hits=${hits.length} wall=${ms}%.0fms")
+      hits.foreach(h => println(f"  ${h.rank}%3d ${h.score}%10.4f ${h.doc_id}%8d ${h.url}"))
+    case other =>
+      System.err.println(s"unknown args: ${other.mkString(" ")}")
+      System.err.println("usage: build <nDocs> <indexDir> | query <indexDir> <k> <and|or> <terms...>")
+      sys.exit(2)
+  }
+}

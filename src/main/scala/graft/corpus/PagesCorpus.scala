@@ -1,0 +1,208 @@
+package graft.corpus
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** One Common-Crawl-style page row (BASELINE.json input_hint shape, plus the
+  * deterministic docId the generator assigns).
+  */
+case class Page(
+    doc_id: Long,
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** Deterministic synthetic `pages` corpus, modeled on the reference's
+  * whitebox validator corpus (/root/reference/src/bin/validator/corpus.rs:
+  * 77-133 — seeded corpus with known needle markers, determinism test at
+  * corpus.rs:954).
+  *
+  * Every row is a pure function of (seed, rowIndex): no shared RNG state,
+  * so the Dataset is identical at any parallelism level (the N-vs-4N
+  * determinism gate, SURVEY.md §7.4).
+  *
+  * Contents:
+  *   - ~2000-word syllable vocabulary with a Zipfian frequency profile
+  *     (head terms ~ stopwords, so head-term skew/salting is exercised);
+  *   - needle terms `needle%05d` injected with KNOWN tf into KNOWN docs
+  *     ([[needleDocs]] reproduces the mapping corpus-free, so BM25 scores
+  *     are hand-computable);
+  *   - html encodings restricted to the deterministic-decode cases of the
+  *     reference transcoder (UTF-8 / UTF-8 BOM / UTF-16LE / UTF-16BE);
+  *   - a few safety-gate rows (bracket nesting > 500) that
+  *     `content_safety_check` must drop.
+  */
+object PagesCorpus {
+
+  val Seed = 42L
+
+  // -- splitmix64: the per-row PRNG stream (pure function of its seed) --
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  /** k-th draw of the stream for (seed,row). */
+  @inline private def draw(seed: Long, row: Long, k: Int): Long =
+    mix64(mix64(seed ^ (row * 0x632be59bd9b4e019L)) + k)
+  @inline private def drawDouble(seed: Long, row: Long, k: Int): Double =
+    ((draw(seed, row, k) >>> 11).toDouble) / (1L << 53).toDouble
+
+  // -- vocabulary: 2000 syllable-composed words, all length >= 4 --
+  private val Syllables = Vector(
+    "ba", "ce", "di", "fo", "gu", "ha", "ke", "li", "mo", "nu",
+    "pa", "re", "si", "to", "vu", "wa", "xe", "zi", "lor", "tem")
+  val VocabSize = 2000
+  val vocab: Vector[String] = (0 until VocabSize).map { i =>
+    val s = new StringBuilder
+    var x = i
+    var parts = 0
+    do { s.append(Syllables(x % Syllables.length)); x /= Syllables.length; parts += 1 }
+    while (x > 0 || parts < 2)
+    s.toString
+  }.toVector
+  require(vocab.distinct.size == VocabSize && vocab.forall(_.length > 2))
+
+  // -- Zipf(s=1.07) cumulative distribution over vocab ranks --
+  private val zipfCum: Array[Double] = {
+    val w = Array.tabulate(VocabSize)(i => 1.0 / math.pow(i + 1.0, 1.07))
+    val total = w.sum
+    val cum = new Array[Double](VocabSize)
+    var acc = 0.0
+    var i = 0
+    while (i < VocabSize) { acc += w(i) / total; cum(i) = acc; i += 1 }
+    cum(VocabSize - 1) = 1.0
+    cum
+  }
+  @inline private def zipfWord(u: Double): String = {
+    var lo = 0; var hi = VocabSize - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (zipfCum(mid) < u) lo = mid + 1 else hi = mid
+    }
+    vocab(lo)
+  }
+
+  // -- needles: doc row % NeedleEvery == 0 carries needle(row/NeedleEvery % NeedleCount)
+  val NeedleEvery = 37
+  val NeedleCount = 100
+  def needleTerm(i: Int): String = f"needle$i%05d"
+  /** tf of the needle in its host doc: known, varies 1..5. */
+  @inline def needleTf(row: Long): Int = (1 + (row / NeedleEvery) % 5).toInt
+  @inline def hasNeedle(row: Long): Boolean = row % NeedleEvery == 0
+  @inline def needleIdOf(row: Long): Int = ((row / NeedleEvery) % NeedleCount).toInt
+
+  /** All (docId, tf) host docs of needle i in an n-row corpus — pure
+    * function, no corpus scan needed (the generator manifest).
+    */
+  def needleDocs(i: Int, n: Long): Seq[(Long, Int)] =
+    (0L until n).filter(r => hasNeedle(r) && needleIdOf(r) == i)
+      .map(r => (r, needleTf(r)))
+
+  /** Safety-gate rows: text fails content_safety_check (nesting > 500). */
+  @inline def isSafetyRow(row: Long): Boolean = row % 101 == 100
+
+  val BaseEpochMs = 1767225600000L // 2026-01-01T00:00:00Z
+
+  /** Token list of row `row` — the ground truth for tokenizer tests. */
+  def bodyTokens(seed: Long, row: Long): Vector[String] = {
+    // doc length 50..1000 tokens, varied by row
+    val nTokens = 50 + math.abs(((draw(seed, row, 0) >>> 16) % 951).toInt)
+    val b = Vector.newBuilder[String]
+    var k = 1
+    while (k <= nTokens) { b += zipfWord(drawDouble(seed, row, k)); k += 1 }
+    var out = b.result()
+    if (hasNeedle(row)) {
+      val nd = needleTerm(needleIdOf(row))
+      val tf = needleTf(row)
+      // spread tf copies at deterministic interior positions
+      var j = 0
+      while (j < tf) {
+        val pos = 1 + ((j + 1) * out.size) / (tf + 1)
+        out = (out.take(pos) :+ nd) ++ out.drop(pos)
+        j += 1
+      }
+    }
+    out
+  }
+
+  /** Ground-truth extracted text of row `row`. */
+  def text(seed: Long, row: Long): String = {
+    if (isSafetyRow(row)) return "unsafe " + ("{" * 600) + " generated"
+    val toks = bodyTokens(seed, row)
+    val sb = new StringBuilder(toks.size * 8)
+    var i = 0
+    while (i < toks.size) {
+      sb.append(toks(i))
+      if (i < toks.size - 1) {
+        // vary separators to exercise the splitter (still deterministic)
+        (i % 13: @annotation.switch) match {
+          case 5  => sb.append(", ")
+          case 11 => sb.append(".\n")
+          case _  => sb.append(' ')
+        }
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Ground-truth EXTRACTED text (what the transcoder must reproduce
+    * byte-identically per url). A BOM'd UTF-8 buffer is itself valid
+    * UTF-8, so the reference's fast path (utils.rs:22-25) keeps the U+FEFF
+    * char — we mirror that here for encoding case 2.
+    */
+  def expectedText(seed: Long, row: Long): String =
+    if (row % 20 == 2) "﻿" + text(seed, row) else text(seed, row)
+
+  /** html bytes: encoding chosen per row among the deterministic-decode
+    * cases of the reference transcoder (SURVEY.md §7.4).
+    */
+  def html(seed: Long, row: Long): Array[Byte] = {
+    val t = text(seed, row)
+    (row % 20) match {
+      case 0 => // UTF-16LE BOM
+        val body = t.getBytes(StandardCharsets.UTF_16LE)
+        Array[Byte](0xFF.toByte, 0xFE.toByte) ++ body
+      case 1 => // UTF-16BE BOM
+        val body = t.getBytes(StandardCharsets.UTF_16BE)
+        Array[Byte](0xFE.toByte, 0xFF.toByte) ++ body
+      case 2 => // UTF-8 BOM
+        Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+          t.getBytes(StandardCharsets.UTF_8)
+      case _ => t.getBytes(StandardCharsets.UTF_8)
+    }
+  }
+
+  def url(row: Long): String =
+    f"https://site-${row % 997}%04d.example/page-$row%08d"
+
+  def lang(row: Long): String = (row % 17) match {
+    case 15 => "de"
+    case 16 => "fr"
+    case _  => "en"
+  }
+
+  /** One row, pure function of (seed, row). */
+  def page(seed: Long, row: Long): Page = Page(
+    doc_id = row,
+    url = url(row),
+    warc_ts = new Timestamp(BaseEpochMs + row * 1000L),
+    html = html(seed, row),
+    text = expectedText(seed, row),
+    lang = lang(row))
+
+  /** Distributed generator: n rows over `parts` partitions. Identical
+    * content at any `parts` because rows are index-pure.
+    */
+  def pages(spark: SparkSession, n: Long, seed: Long = Seed,
+      parts: Int = 16): Dataset[Page] = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, parts).map(row => page(seed, row))
+  }
+}

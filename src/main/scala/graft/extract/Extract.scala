@@ -1,0 +1,148 @@
+package graft.extract
+
+import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** `html BINARY -> text STRING` extraction, reimplementing the decision
+  * procedure of the reference's `transcode_to_utf8`
+  * (/root/reference/src/utils.rs:20-83) plus the content safety gate
+  * (`content_safety_check`, /root/reference/src/utils.rs:174-211).
+  *
+  * Decision order (identical to the reference):
+  *   1. valid UTF-8              -> decode as-is (zero-copy fast path there)
+  *   2. UTF-8 BOM (EF BB BF)     -> strip BOM, re-validate
+  *   3. UTF-16LE BOM (FF FE)     -> decode UTF-16LE (BOM consumed)
+  *   4. UTF-16BE BOM (FE FF)     -> decode UTF-16BE (BOM consumed)
+  *   5. statistical charset guess (chardetng) — NOT reproducible on the
+  *      JVM, so this engine REJECTS instead; the synthetic corpus only
+  *      emits encodings 1-4 (documented restriction, SURVEY.md §7.4).
+  *   6. binary-looking content   -> reject
+  *
+  * The per-row invariant (BASELINE.json input_hint) — extracted text is
+  * byte-identical per url to the ground-truth `text` column — is asserted
+  * in ExtractSpec and CorpusSpec.
+  */
+object Extract {
+
+  /** Strict UTF-8 validation + decode; None if invalid. */
+  private def strictDecode(bytes: Array[Byte], off: Int,
+      cs: java.nio.charset.Charset): Option[String] = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try Some(dec.decode(ByteBuffer.wrap(bytes, off, bytes.length - off)).toString)
+    catch { case _: CharacterCodingException => None }
+  }
+
+  /** Mirror of `is_binary_bytes` (/root/reference/src/utils.rs:88-108):
+    * first 8KB; any NUL => binary; >10% control chars (excluding \t\n\r)
+    * => binary.
+    */
+  def isBinaryBytes(bytes: Array[Byte]): Boolean = {
+    val checkLen = math.min(bytes.length, 8192)
+    var nonText = 0
+    var i = 0
+    while (i < checkLen) {
+      val b = bytes(i)
+      if (b == 0) return true
+      if ((b & 0xff) < 32 && b != '\t' && b != '\n' && b != '\r') nonText += 1
+      i += 1
+    }
+    checkLen > 0 && nonText > checkLen / 10
+  }
+
+  /** Transcode to UTF-8 text; None = rejected as binary / undecodable.
+    * Decision procedure per the reference (see object doc).
+    */
+  def transcodeToUtf8(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null) return None
+    strictDecode(bytes, 0, StandardCharsets.UTF_8) match {
+      case Some(s) => return Some(s)
+      case None =>
+    }
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xEF &&
+        (bytes(1) & 0xff) == 0xBB && (bytes(2) & 0xff) == 0xBF) {
+      strictDecode(bytes, 3, StandardCharsets.UTF_8) match {
+        case Some(s) => return Some(s)
+        case None =>
+      }
+    }
+    if (bytes.length >= 2) {
+      val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
+      if (b0 == 0xFF && b1 == 0xFE) {
+        // UTF-16LE with BOM; JDK UTF-16LE keeps the BOM char — drop U+FEFF
+        // like encoding_rs does.
+        strictDecode(bytes, 2, StandardCharsets.UTF_16LE) match {
+          case Some(s) => return Some(s)
+          case None =>
+        }
+      } else if (b0 == 0xFE && b1 == 0xFF) {
+        strictDecode(bytes, 2, StandardCharsets.UTF_16BE) match {
+          case Some(s) => return Some(s)
+          case None =>
+        }
+      }
+    }
+    // Reference falls through to chardetng here; we reject (deterministic
+    // corpus never reaches this branch).
+    None
+  }
+
+  /** Mirror of `is_binary_content` (/root/reference/src/utils.rs:138-161):
+    * operates on the UTF-8 bytes of the decoded string.
+    */
+  def isBinaryContent(content: String): Boolean =
+    isBinaryBytes(content.getBytes(StandardCharsets.UTF_8))
+
+  val MaxSafeLineLength = 100000 // utils.rs:164
+  val MaxNestingDepth = 500      // utils.rs:167
+
+  /** Mirror of `content_safety_check` (/root/reference/src/utils.rs:174-211).
+    * None = safe; Some(reason) = drop the row before indexing.
+    */
+  def contentSafetyCheck(content: String): Option[String] = {
+    if (isBinaryContent(content)) return Some("binary")
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    var lineLen = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == '\n') lineLen = 0
+      else {
+        lineLen += 1
+        if (lineLen > MaxSafeLineLength) return Some("long-line")
+      }
+      i += 1
+    }
+    var depth = 0; var maxDepth = 0
+    i = 0
+    while (i < bytes.length) {
+      (bytes(i): @annotation.switch) match {
+        case '{' | '(' | '[' =>
+          depth += 1; if (depth > maxDepth) maxDepth = depth
+        case '}' | ')' | ']' =>
+          if (depth > 0) depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (maxDepth > MaxNestingDepth) Some("deep-nesting") else None
+  }
+
+  def isSafe(content: String): Boolean = contentSafetyCheck(content).isEmpty
+
+  // ---- Column-level API (UDFs are deterministic + null-safe) ----
+
+  private val extractUdf = udf { bytes: Array[Byte] =>
+    transcodeToUtf8(bytes).orNull
+  }
+  private val safeUdf = udf { text: String => text != null && isSafe(text) }
+
+  /** html BINARY -> text STRING (null when rejected as binary). */
+  def extractText(html: Column): Column = extractUdf(html)
+
+  /** Safety-gate predicate column. */
+  def safe(text: Column): Column = safeUdf(text)
+}

@@ -1,0 +1,154 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract.Extract
+import graft.tokenize.Tokenizer
+
+/** Global index statistics (persisted as a single-row table). */
+case class IndexStats(
+    num_docs: Long,
+    total_tokens: Long,
+    avgdl: Double,
+    num_terms: Long,
+    num_postings: Long)
+
+/** Handle on a built (or loaded) index directory:
+  *
+  *   {path}/docs      (doc_id, url, doc_len)           — per-doc metadata
+  *   {path}/terms     (term_id, term, df, idf)         — term dictionary
+  *   {path}/postings  (term_id, doc_id, tf, impact)    — uncompressed rows
+  *   {path}/blocks    (term_id, block_id, n, docs_enc, tfs_enc,
+  *                     impacts_enc, block_max)         — production artifact
+  *   {path}/stats     single IndexStats row
+  *
+  * Both postings and blocks are range-partitioned + sorted by term_id so a
+  * query's `term_id IN (...)` filter prunes parquet row groups (min/max
+  * stats) — the distributed analog of the reference's hash lookup
+  * (/root/reference/src/index/trigram.rs:130-145).
+  */
+class BuiltIndex(val spark: SparkSession, val path: String) {
+  lazy val docs: DataFrame = spark.read.parquet(s"$path/docs")
+  lazy val terms: DataFrame = spark.read.parquet(s"$path/terms")
+  lazy val postings: DataFrame = spark.read.parquet(s"$path/postings")
+  lazy val blocks: DataFrame = spark.read.parquet(s"$path/blocks")
+  lazy val stats: IndexStats = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/stats").as[IndexStats].head()
+  }
+}
+
+/** Distributed inverted-index build — the Spark re-expression of the
+  * reference's single-writer batch pipeline
+  * (/root/reference/src/search/background_indexer.rs:634-860):
+  * discovery walk -> parquet scan; rayon map phases -> narrow codegen'd
+  * stages; RwLock merge -> groupBy shuffles with map-side partial agg;
+  * bincode save -> partitioned parquet tables.
+  */
+object IndexBuilder {
+
+  /** Build from a pages-shaped DataFrame. Expects columns
+    * (doc_id LONG, url STRING, text STRING); callers with raw html use
+    * [[extractPages]] first.
+    *
+    * Multi-pass design (scale-correct): the token-frequency table is
+    * materialized once to parquet, then every derived table (doc lengths,
+    * dictionary, postings, blocks) reads it back — no recomputation of the
+    * tokenize+shuffle at 100 TB, no executor-memory cache dependency.
+    */
+  def build(spark: SparkSession, pagesDf: DataFrame, outDir: String,
+      blockBits: Int = PostingBlocks.DefaultBlockBits): BuiltIndex = {
+    import spark.implicits._
+
+    // S5: content safety gate (content_safety_check, utils.rs:174-211)
+    val docsClean = pagesDf
+      .select(col("doc_id"), col("url"), col("text"))
+      .where(Extract.safe(col("text")))
+
+    // T1 tokenize (embeddings.rs:342-348) + A1 tf aggregation — one wide
+    // shuffle keyed (term, doc_id); Catalyst plans partial+final hash agg,
+    // so stopword rows combine map-side before the exchange.
+    val tf = docsClean
+      .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("int").as("tf"))
+    tf.write.mode("overwrite").parquet(s"$outDir/tf")
+    val tfR = spark.read.parquet(s"$outDir/tf")
+
+    // A6: doc lengths; docs dimension keeps zero-token docs (doc_len=0).
+    val docLens = tfR.groupBy("doc_id").agg(sum("tf").as("doc_len"))
+    val docs = docsClean.select("doc_id", "url")
+      .join(docLens, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("doc_len"))
+    docs.write.mode("overwrite").parquet(s"$outDir/docs")
+    val docsR = spark.read.parquet(s"$outDir/docs")
+
+    // A5: corpus stats. avgdl = total_tokens / num_docs (exact: integer
+    // sums below 2^53 are order-independent in double).
+    val Row0 = docsR.agg(
+      count(lit(1)).as("num_docs"), sum("doc_len").as("total_tokens")).head()
+    val numDocs = Row0.getLong(0)
+    val totalTokens = if (Row0.isNullAt(1)) 0L else Row0.getLong(1)
+    val avgdl = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs.toDouble
+
+    // A4/A2: term dictionary with df and idf.
+    val terms = tfR.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("term_id", xxhash64(col("term")))
+      .withColumn("idf", Bm25.idfCol(numDocs, col("df")))
+    terms.write.mode("overwrite").parquet(s"$outDir/terms")
+    val termsR = spark.read.parquet(s"$outDir/terms")
+
+    // Posting rows with precomputed BM25 impact. Two shuffle joins, both
+    // on keys the sides were just aggregated by.
+    val postings = tfR
+      .join(docsR.select("doc_id", "doc_len"), Seq("doc_id"))
+      .join(termsR.select("term", "term_id", "idf"), Seq("term"))
+      .select(
+        col("term_id"), col("doc_id"), col("tf"),
+        Bm25.impactCol(col("tf").cast("double"),
+          col("doc_len").cast("double"), avgdl, col("idf")).as("impact"))
+    postings
+      .repartitionByRange(col("term_id"))
+      .sortWithinPartitions("term_id", "doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/postings")
+    val postingsR = spark.read.parquet(s"$outDir/postings")
+
+    // Posting blocks: fixed docId ranges (block_id = doc_id >> blockBits)
+    // act as the salt for head-term skew (see PostingBlock scaladoc).
+    val blocks = postingsR
+      .withColumn("block_id", shiftright(col("doc_id"), blockBits))
+      .groupBy("term_id", "block_id")
+      .agg(PostingBlocks.blockAgg(col("doc_id"), col("tf"), col("impact")).as("blk"))
+      .select(col("term_id"), col("block_id"),
+        col("blk.n").as("n"),
+        col("blk.docs_enc").as("docs_enc"),
+        col("blk.tfs_enc").as("tfs_enc"),
+        col("blk.impacts_enc").as("impacts_enc"),
+        col("blk.block_max").as("block_max"))
+    blocks
+      .repartitionByRange(col("term_id"), col("block_id"))
+      .sortWithinPartitions("term_id", "block_id")
+      .write.mode("overwrite").parquet(s"$outDir/blocks")
+
+    val numTerms = termsR.count()
+    val numPostings = postingsR.count()
+    Seq(IndexStats(numDocs, totalTokens, avgdl, numTerms, numPostings))
+      .toDS().write.mode("overwrite").parquet(s"$outDir/stats")
+
+    new BuiltIndex(spark, outDir)
+  }
+
+  /** S4 extraction front end: raw pages (url, warc_ts, html, ...) ->
+    * (doc_id, url, text) with binary rows rejected (null text dropped).
+    */
+  def extractPages(pagesRaw: DataFrame): DataFrame =
+    pagesRaw
+      .withColumn("text_x", Extract.extractText(col("html")))
+      .where(col("text_x").isNotNull)
+      .select(col("doc_id"), col("url"), col("text_x").as("text"))
+
+  def load(spark: SparkSession, path: String): BuiltIndex =
+    new BuiltIndex(spark, path)
+}

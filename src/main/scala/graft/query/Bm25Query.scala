@@ -1,0 +1,279 @@
+package graft.query
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{Bm25, BuiltIndex, PostingCodec}
+import graft.tokenize.Tokenizer
+
+/** A resolved query term (driver-side analysis). */
+case class QueryTerm(term: String, term_id: Long, df: Long, idf: Double)
+
+/** A scored hit. */
+case class Hit(doc_id: Long, url: String, score: Double, rank: Int)
+
+/** One compressed posting block row as read at query time (top-level so
+  * Catalyst's generated deserializer can construct it).
+  */
+case class BlockRow(term_id: Long, block_id: Long, n: Int,
+    docs_enc: Array[Byte], impacts_enc: Array[Byte], block_max: Double)
+
+/** BM25 top-k query engine over a [[BuiltIndex]].
+  *
+  * Query lifecycle mirrors the reference (SURVEY.md §3.1): tokenize + term
+  * lookup (missing term in conjunctive mode short-circuits to empty, like
+  * the missing-trigram check at /root/reference/src/index/trigram.rs:
+  * 140-145) -> term order by ascending df (smallest-cardinality-first,
+  * trigram.rs:148-149) -> posting intersection/union -> BM25 -> global
+  * top-k with the frozen tie-break (score DESC, doc_id ASC).
+  *
+  * Two physical paths, asserted identical in tests:
+  *   - [[searchNaive]]: join/groupBy over uncompressed posting rows — the
+  *     declarative cross-check path (J1a in SURVEY.md §7.1);
+  *   - [[searchBlocks]]: mapPartitions merge over compressed posting
+  *     blocks with block-max pruning — the production path.
+  */
+object Bm25Query {
+
+  /** Driver-side query analysis: tokenize, dedupe, resolve against the
+    * dictionary. Returns resolved terms sorted by ascending df.
+    * `allResolved` distinguishes conjunctive short-circuit.
+    */
+  case class Analyzed(terms: Vector[QueryTerm], nQueryTerms: Int) {
+    def allResolved: Boolean = terms.size == nQueryTerms
+  }
+
+  def analyze(index: BuiltIndex, query: String): Analyzed = {
+    val qTokens = Tokenizer.tokenize(query).distinct
+    if (qTokens.isEmpty) return Analyzed(Vector.empty, 0)
+    import index.spark.implicits._
+    val resolved = index.terms
+      .where(col("term").isin(qTokens: _*))
+      .select("term", "term_id", "df", "idf")
+      .as[QueryTerm].collect().toVector
+      .sortBy(t => (t.df, t.term_id))
+    Analyzed(resolved, qTokens.size)
+  }
+
+  private def emptyHits(spark: SparkSession): Dataset[Hit] = {
+    import spark.implicits._
+    spark.emptyDataset[Hit]
+  }
+
+  /** Attach urls + ranks to a (doc_id, score) top-k result. k is small
+    * (clamped 1..1000 like the reference API, web/api.rs:164), so we
+    * collect and re-drive a pruned scan of `docs`.
+    */
+  private def finish(index: BuiltIndex, scored: DataFrame, k: Int): Dataset[Hit] = {
+    val spark = index.spark
+    import spark.implicits._
+    val top = scored
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select("doc_id", "score")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    if (top.isEmpty) return emptyHits(spark)
+    val urls = index.docs
+      .where(col("doc_id").isin(top.map(_._1): _*))
+      .select("doc_id", "url")
+      .as[(Long, String)].collect().toMap
+    val hits = top.zipWithIndex.map { case ((d, s), i) =>
+      Hit(d, urls.getOrElse(d, ""), s, i + 1)
+    }
+    spark.createDataset(hits.toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // Naive declarative path (correctness cross-check)
+  // ------------------------------------------------------------------
+
+  /** (doc_id, score) DataFrame before the top-k, or None on short-circuit.
+    * Exposed for SparkEntry gate queries.
+    */
+  def scoredNaive(index: BuiltIndex, query: String,
+      conjunctive: Boolean): Option[DataFrame] = {
+    val a = analyze(index, query)
+    if (a.terms.isEmpty || (conjunctive && !a.allResolved)) return None
+    val qids = a.terms.map(_.term_id)
+    // term_id IN (...) prunes parquet row groups (postings sorted by term_id)
+    val pf = index.postings.where(col("term_id").isin(qids: _*))
+    // Canonical summation order (ascending term_id) so distributed sums
+    // are bit-identical to the oracle (SURVEY.md §7.4 score identity).
+    val perDoc = pf.groupBy("doc_id").agg(
+      count(lit(1)).as("nt"),
+      aggregate(
+        sort_array(collect_list(struct(col("term_id"), col("impact")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("impact")).as("score"))
+    val scored =
+      if (conjunctive) perDoc.where(col("nt") === lit(a.terms.size))
+      else perDoc
+    Some(scored.select("doc_id", "score"))
+  }
+
+  def searchNaive(index: BuiltIndex, query: String, k: Int,
+      conjunctive: Boolean = true): Dataset[Hit] =
+    scoredNaive(index, query, conjunctive) match {
+      case None => emptyHits(index.spark)
+      case Some(scored) => finish(index, scored, clampK(k))
+    }
+
+  private def clampK(k: Int): Int = math.max(1, math.min(k, 1000))
+
+  // ------------------------------------------------------------------
+  // Block path: compressed postings + block-max pruning (production)
+  // ------------------------------------------------------------------
+
+  /** (doc_id, score) of per-partition survivors (superset of global top-k),
+    * or None on short-circuit.
+    */
+  def scoredBlocks(index: BuiltIndex, query: String, k: Int,
+      conjunctive: Boolean): Option[DataFrame] = {
+    val spark = index.spark
+    import spark.implicits._
+    val a = analyze(index, query)
+    if (a.terms.isEmpty || (conjunctive && !a.allResolved)) return None
+    val kk = clampK(k)
+    val qids = a.terms.map(_.term_id)
+    val nTerms = a.terms.size
+
+    val rows = index.blocks
+      .where(col("term_id").isin(qids: _*))
+      .select("term_id", "block_id", "n", "docs_enc", "impacts_enc", "block_max")
+      .as[BlockRow]
+    // Co-locate all terms' blocks of one docId range, then merge them with
+    // partition-local block-max thresholds (conservative => exact top-k:
+    // the global top-k is a subset of the union of local top-k sets).
+    val candidates = rows
+      .repartition(col("block_id"))
+      .sortWithinPartitions(col("block_id"), col("term_id"))
+      .mapPartitions { it =>
+        processPartition(it, nTerms, kk, conjunctive)
+      }(org.apache.spark.sql.Encoders.product[(Long, Double)])
+      .toDF("doc_id", "score")
+    Some(candidates)
+  }
+
+  /** Merge one partition's block groups. Rows arrive sorted by
+    * (block_id, term_id); each contiguous block_id run is one docId range.
+    */
+  private def processPartition(it: Iterator[BlockRow], nTerms: Int, k: Int,
+      conjunctive: Boolean): Iterator[(Long, Double)] = {
+    // local top-k heap: head = current worst survivor
+    val worstFirst: Ordering[(Long, Double)] = (a, b) => {
+      val c = java.lang.Double.compare(b._2, a._2)
+      if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, Double)](worstFirst)
+    @inline def threshold: Double =
+      if (heap.size < k) Double.NegativeInfinity else heap.head._2
+    @inline def offer(doc: Long, score: Double): Unit = {
+      if (heap.size < k) heap.enqueue((doc, score))
+      else if (score > heap.head._2 ||
+               (score == heap.head._2 && doc < heap.head._1)) {
+        heap.dequeue(); heap.enqueue((doc, score))
+      }
+    }
+
+    val group = mutable.ArrayBuffer.empty[BlockRow]
+    var curBlock = Long.MinValue
+
+    def flush(): Unit = {
+      if (group.isEmpty) return
+      val present = group.size
+      if (conjunctive && present < nTerms) { group.clear(); return }
+      // block-max WAND prune: upper bound of any doc in this range
+      var upper = 0.0
+      var gi = 0
+      while (gi < group.size) { upper += group(gi).block_max; gi += 1 }
+      if (heap.size == k && upper < threshold) { group.clear(); return }
+      // decode; rows are term_id-ascending => per-doc sums accumulate in
+      // canonical term order (bit-identical to the oracle)
+      if (conjunctive) {
+        val docArrays = new Array[Array[Long]](present)
+        val impArrays = new Array[Array[Double]](present)
+        gi = 0
+        while (gi < present) {
+          val r = group(gi)
+          docArrays(gi) = PostingCodec.decodeDocIds(r.docs_enc, r.n)
+          impArrays(gi) = PostingCodec.decodeImpacts(r.impacts_enc, r.n)
+          gi += 1
+        }
+        // k-way sorted intersection, smallest list drives (K2 semantics)
+        val order = (0 until present).sortBy(docArrays(_).length)
+        val drive = docArrays(order.head)
+        val ptrs = new Array[Int](present)
+        var di = 0
+        while (di < drive.length) {
+          val doc = drive(di)
+          var ok = true
+          var oi = 1
+          while (ok && oi < present) {
+            val li = order(oi)
+            val arr = docArrays(li)
+            var p = ptrs(li)
+            while (p < arr.length && arr(p) < doc) p += 1
+            ptrs(li) = p
+            ok = p < arr.length && arr(p) == doc
+            oi += 1
+          }
+          if (ok) {
+            // sum in ascending term_id order (= group order)
+            var score = 0.0
+            var ti = 0
+            while (ti < present) {
+              val arr = docArrays(ti)
+              var p = java.util.Arrays.binarySearch(arr, doc)
+              score += impArrays(ti)(p)
+              ti += 1
+            }
+            offer(doc, score)
+          }
+          di += 1
+        }
+      } else {
+        // union: accumulate per doc, term lists visited term_id-ascending
+        val acc = mutable.LinkedHashMap.empty[Long, Double]
+        gi = 0
+        while (gi < present) {
+          val r = group(gi)
+          val ds = PostingCodec.decodeDocIds(r.docs_enc, r.n)
+          val is = PostingCodec.decodeImpacts(r.impacts_enc, r.n)
+          var i = 0
+          while (i < ds.length) {
+            acc.update(ds(i), acc.getOrElse(ds(i), 0.0) + is(i))
+            i += 1
+          }
+          gi += 1
+        }
+        acc.foreach { case (d, s) => offer(d, s) }
+      }
+      group.clear()
+    }
+
+    new Iterator[(Long, Double)] {
+      private var out: Iterator[(Long, Double)] = null
+      private def run(): Unit = {
+        while (it.hasNext) {
+          val r = it.next()
+          if (r.block_id != curBlock) { flush(); curBlock = r.block_id }
+          group += r
+        }
+        flush()
+        out = heap.dequeueAll.reverseIterator // best-first (cosmetic)
+      }
+      def hasNext: Boolean = { if (out == null) run(); out.hasNext }
+      def next(): (Long, Double) = { if (out == null) run(); out.next() }
+    }
+  }
+
+  def searchBlocks(index: BuiltIndex, query: String, k: Int,
+      conjunctive: Boolean = true): Dataset[Hit] =
+    scoredBlocks(index, query, clampK(k), conjunctive) match {
+      case None => emptyHits(index.spark)
+      case Some(scored) => finish(index, scored, clampK(k))
+    }
+}

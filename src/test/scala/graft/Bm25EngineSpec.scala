@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.PagesCorpus
+import graft.extract.Extract
+import graft.index.IndexBuilder
+import graft.oracle.Bm25Oracle
+import graft.query.Bm25Query
+
+/** Rank-identity + exact-score gate: distributed engine (both physical
+  * paths) vs the single-node oracle on the fixed query workload
+  * (FIXTURES.md §3, mirroring the reference validator's query-coverage
+  * checks at /root/reference/src/bin/validator/validator.rs:464-692).
+  */
+class Bm25EngineSpec extends AnyFunSuite {
+
+  private val n = 400L
+  private lazy val spark = TestSpark.spark
+
+  private lazy val (index, oracle) = {
+    val dir = Files.createTempDirectory("graft-index").toString
+    val raw = PagesCorpus.pages(spark, n, parts = 4)
+    // full front end: html -> text (extraction), then build
+    val extracted = IndexBuilder.extractPages(raw.toDF())
+    val idx = IndexBuilder.build(spark, extracted, dir, blockBits = 6)
+    // oracle corpus = safety-passed docs with the SAME extracted text
+    val docs = raw.collect().toSeq
+      .flatMap(p => Extract.transcodeToUtf8(p.html).map(t => (p.doc_id, t)))
+      .filter { case (_, t) => Extract.isSafe(t) }
+    (idx, Bm25Oracle(docs))
+  }
+
+  private val queries = Seq(
+    PagesCorpus.needleTerm(0),                      // rare needle
+    PagesCorpus.needleTerm(1),
+    PagesCorpus.vocab(0),                           // head term (max df)
+    PagesCorpus.vocab(1),
+    s"${PagesCorpus.vocab(3)} ${PagesCorpus.vocab(7)}",        // conjunctive 2-term
+    s"${PagesCorpus.vocab(0)} ${PagesCorpus.vocab(10)} ${PagesCorpus.vocab(25)}",
+    s"${PagesCorpus.needleTerm(0)} ${PagesCorpus.vocab(0)}",   // needle + head
+    "zzzznonexistenttermzzzz",                      // no-match
+    s"zzzznonexistenttermzzzz ${PagesCorpus.vocab(0)}",        // partial-missing
+    "ab")                                           // short query -> empty
+
+  test("index stats are sane") {
+    assert(index.stats.num_docs == oracle.numDocs)
+    assert(index.stats.avgdl == oracle.avgdl)
+    assert(index.stats.total_tokens == oracle.totalTokens)
+  }
+
+  test("naive path: rank-identical docIDs and exact-equal scores vs oracle") {
+    for (q <- queries; conj <- Seq(true, false)) {
+      val want = oracle.search(q, 20, conj)
+      val got = Bm25Query.searchNaive(index, q, 20, conj).collect().toVector
+      assert(got.map(_.doc_id) == want.map(_.doc_id),
+        s"docIDs differ: q='$q' conj=$conj\n got=$got\nwant=$want")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.score == w.score, s"score differs: q='$q' doc=${g.doc_id}")
+      }
+    }
+  }
+
+  test("block path (WAND): rank-identical and exact-equal vs oracle") {
+    for (q <- queries; conj <- Seq(true, false)) {
+      val want = oracle.search(q, 20, conj)
+      val got = Bm25Query.searchBlocks(index, q, 20, conj).collect().toVector
+      assert(got.map(_.doc_id) == want.map(_.doc_id),
+        s"docIDs differ: q='$q' conj=$conj\n got=$got\nwant=$want")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.score == w.score, s"score differs: q='$q' doc=${g.doc_id}")
+      }
+    }
+  }
+
+  test("needle queries surface exactly the manifest docs") {
+    val hosts = PagesCorpus.needleDocs(0, n).map(_._1)
+      .filterNot(PagesCorpus.isSafetyRow).toSet
+    val got = Bm25Query.searchNaive(index, PagesCorpus.needleTerm(0), 50)
+      .collect().map(_.doc_id).toSet
+    assert(got == hosts)
+  }
+
+  test("urls and ranks are attached correctly") {
+    val hits = Bm25Query.searchNaive(index, PagesCorpus.vocab(5), 10).collect()
+    assert(hits.nonEmpty)
+    assert(hits.map(_.rank).toSeq == (1 to hits.length))
+    hits.foreach(h => assert(h.url == PagesCorpus.url(h.doc_id)))
+  }
+}

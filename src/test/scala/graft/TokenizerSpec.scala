@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import org.apache.spark.sql.functions._
+
+import graft.tokenize.Tokenizer
+
+/** Reference semantics: /root/reference/src/semantic/embeddings.rs:342-348
+  * — lowercase, split on non-alphanumeric, keep tokens with utf8 byte
+  * length > 2.
+  */
+class TokenizerSpec extends AnyFunSuite {
+
+  test("golden cases match reference tokenize_simple semantics") {
+    assert(Tokenizer.tokenize("Hello, World!") == Vector("hello", "world"))
+    assert(Tokenizer.tokenize("a bb ccc dddd") == Vector("ccc", "dddd"))
+    assert(Tokenizer.tokenize("") == Vector.empty)
+    assert(Tokenizer.tokenize("...!!!") == Vector.empty)
+    assert(Tokenizer.tokenize("foo_bar-baz") == Vector("foo", "bar", "baz"))
+    assert(Tokenizer.tokenize("CamelCase123 x9") == Vector("camelcase123"))
+    assert(Tokenizer.tokenize("num42x,     tab\t\nnewline") ==
+      Vector("num42x", "tab", "newline"))
+    // 2-char token with >2 utf8 bytes survives (Rust str::len is bytes)
+    assert(Tokenizer.tokenize("héllo wörld") == Vector("héllo", "wörld"))
+    assert(Tokenizer.tokenize("日本") == Vector("日本"))
+    assert(Tokenizer.tokenize("ab") == Vector.empty)
+    assert(Tokenizer.tokenize("été") == Vector("été")) // 5 utf8 bytes
+  }
+
+  test("column twin agrees with pure function") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val inputs = Seq(
+      "Hello, World!", "a bb ccc dddd", "", "...!!!", "foo_bar-baz",
+      "CamelCase123 x9", "héllo wörld", "mixed: UPPER lower 42abc",
+      "trailing space ", " leading", "tab\tsep", "new\nline\nsplit")
+    val got = inputs.toDF("t")
+      .select(Tokenizer.tokensCol(col("t")).as("toks"))
+      .as[Seq[String]].collect()
+    inputs.zip(got).foreach { case (in, g) =>
+      assert(g == Tokenizer.tokenize(in), s"input: '$in'")
+    }
+  }
+
+  test("property: column twin == pure function on realistic text") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val wordGen = Gen.oneOf(
+      "the", "a", "Fast", "KEY", "order42", "x", "ab", "abc",
+      "merge-sort", "dup,dup", "tab\ttab", "line\nline", "héllo", "日本語",
+      "...", "(paren)", "[brack]", "{curly}", "under_score", "99", "999")
+    val textGen = Gen.listOfN(30, wordGen).map(_.mkString(" "))
+    val samples = Gen.listOfN(60, textGen).sample.get
+    val got = samples.toDF("t")
+      .select(Tokenizer.tokensCol(col("t")).as("toks"))
+      .as[Seq[String]].collect()
+    samples.zip(got).foreach { case (in, g) =>
+      assert(g == Tokenizer.tokenize(in), s"input: '$in'")
+    }
+  }
+}
