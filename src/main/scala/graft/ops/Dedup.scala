@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tokenize.Tokenizer
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale notes (the 100 TB story):
+  *  - exact / fingerprint dedup: one hash-keyed shuffle with map-side
+  *    combine — embarrassingly scalable;
+  *  - n-gram Jaccard: exact pairwise, driven through a shingle-key
+  *    equi-join — only pairs sharing >=1 shingle materialize. Correct but
+  *    O(pairs-with-overlap); at web scale run [[minhashCandidates]] first
+  *    and verify only candidates (the standard MinHash+LSH funnel);
+  *  - MinHash/LSH: signature build is one agg; banding turns near-dup
+  *    search into an equi-join on (band, bucket) — no cross join anywhere;
+  *  - SimHash: 64-bit signature; hamming<=3 search via 4x16-bit chunk
+  *    bucketing (pigeonhole) — again an equi-join.
+  */
+object Dedup {
+
+  /** Marks each row with the canonical (minimum) id of its exact-text
+    * group. `is_canonical` = keep-row marker.
+    */
+  def exactByText(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = Window.partitionBy(lower(col(text)))
+    df.withColumn("canonical_id", min(col(id)).over(w))
+      .withColumn("is_canonical", col(id) === col("canonical_id"))
+  }
+
+  /** Token n-gram shingles (distinct), as a column expression. Guarded for
+    * docs shorter than n tokens (Spark `sequence` would descend).
+    */
+  def shinglesCol(text: Column, n: Int): Column = {
+    val toks = Tokenizer.tokensCol(text)
+    val count = size(toks) - lit(n - 1)
+    val raw = transform(sequence(lit(1), count), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    array_distinct(when(count >= 1, raw).otherwise(array()))
+  }
+
+  /** Exploded distinct shingle rows: (id, shingle). */
+  def shingleRows(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id).as("sid"), explode(shinglesCol(col(text), n)).as("s"))
+
+  /** Exact pairwise n-gram Jaccard over shingle sets, for pairs with
+    * similarity >= minJ. Only pairs sharing a shingle are generated
+    * (shingle-key equi-join, no cross product).
+    */
+  def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
+      minJ: Double): DataFrame = {
+    val sh = shingleRows(df, id, text, n)
+    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("sz"))
+    val x = sh.toDF("a", "s")
+    val y = sh.toDF("b", "s")
+    val common = x.join(y, Seq("s"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.toDF("a", "na"), Seq("a"))
+      .join(sizes.toDF("b", "nb"), Seq("b"))
+      .withColumn("j",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .where(col("j") >= minJ)
+      .select("a", "b", "j")
+  }
+
+  /** MinHash signatures: k hash functions h_i(s) = xxhash64(i, s), min per
+    * doc. One groupBy with k min-aggregates — map-side combinable.
+    */
+  def minhashSignatures(df: DataFrame, id: String, text: String, n: Int,
+      k: Int): DataFrame = {
+    val sh = shingleRows(df, id, text, n)
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy(col("sid").as(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over signatures: bands of `rowsPerBand` components hashed
+    * to a bucket; candidate pairs = distinct (a,b) colliding in any band,
+    * with the estimated Jaccard (fraction of equal signature components).
+    */
+  def minhashCandidates(df: DataFrame, id: String, text: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0)
+    val rpb = k / bands
+    val sigs = minhashSignatures(df, id, text, n, k)
+    val sigArr = sigs.withColumn("sig", array((0 until k).map(i => col(s"h$i")): _*))
+      .select(col(id).as("sid"), col("sig"))
+    val banded = sigArr.select(
+      col("sid"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(b +: (0 until rpb).map(r =>
+            element_at(col("sig"), b * lit(rpb) + lit(r + 1))): _*).as("bucket")))).as("bb"))
+      .select(col("sid"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val x = banded.toDF("a", "siga", "band", "bucket")
+    val y = banded.toDF("b", "sigb", "band", "bucket")
+    x.join(y, Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (size(filter(zip_with(col("siga"), col("sigb"), (p, q) =>
+          (p === q).cast("int")), v => v === 1)).cast("double") / lit(k.toDouble))
+          .as("est_j"))
+      .groupBy("a", "b").agg(max("est_j").as("est_j"))
+  }
+
+  /** MinHash+LSH near-dup pairs, verified with exact Jaccard >= minJ —
+    * the full funnel (candidates via banding, exact check via shingle
+    * join restricted to candidates).
+    */
+  def minhashDuplicates(df: DataFrame, id: String, text: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16, minJ: Double = 0.8): DataFrame = {
+    val cands = minhashCandidates(df, id, text, n, k, bands).select("a", "b")
+    val sh = shingleRows(df, id, text, n)
+    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("sz"))
+    val common = cands
+      .join(sh.toDF("a", "s"), Seq("a"))
+      .join(sh.toDF("b", "s"), Seq("s", "b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.toDF("a", "na"), Seq("a"))
+      .join(sizes.toDF("b", "nb"), Seq("b"))
+      .withColumn("j",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .where(col("j") >= minJ)
+      .select("a", "b", "j")
+  }
+
+  /** 64-bit SimHash over the token stream: per-occurrence xxhash64 (seed
+    * 42 — identical to the `xxhash64` column function via Bm25.termId),
+    * each bit votes +1/-1 (occurrence votes = tf weighting), sign -> bit.
+    * A UDF: the 64-bit-vote fold would explode the codegen expression
+    * tree, and the per-row loop is trivially cheap in Scala.
+    */
+  val simhashUdf = udf { text: String =>
+    val votes = new Array[Int](64)
+    Tokenizer.tokenize(if (text == null) "" else text).foreach { t =>
+      val h = graft.index.Bm25.termId(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) >= 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  def simhash64(text: Column): Column = simhashUdf(text)
+
+  /** Near-dup candidate pairs with hamming(simhash) <= maxHamming (<= 3),
+    * via 4x16-bit chunk bucketing (pigeonhole: <=3 differing bits leave
+    * >=1 of 4 chunks identical) + exact popcount verify.
+    */
+  def simhashDuplicates(df: DataFrame, id: String, text: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole covers hamming<=3")
+    val withSig = df.select(col(id).as("sid"), simhash64(col(text)).as("sig"))
+    val chunkStructs = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("piece")))
+    val chunked = withSig.select(col("sid"), col("sig"),
+      explode(array(chunkStructs: _*)).as("cp"))
+      .select(col("sid"), col("sig"), col("cp.chunk"), col("cp.piece"))
+    val x = chunked.toDF("a", "siga", "chunk", "piece")
+    val y = chunked.toDF("b", "sigb", "chunk", "piece")
+    x.join(y, Seq("chunk", "piece"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
+      .groupBy("a", "b").agg(min("hamming").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+}

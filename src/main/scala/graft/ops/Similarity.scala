@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * The reference's analog is the HNSW cosine top-k of its semantic engine
+  * (/root/reference/src/semantic/vector_index.rs:36-132). Distributed
+  * re-expression:
+  *  - [[cosineTopK]]: exact brute force — one codegen'd narrow pass + a
+  *    TakeOrderedAndProject top-k; the correctness baseline, and at k<<N
+  *    genuinely competitive on a cluster (scan-bound, no index build);
+  *  - [[ivfAssign]] / [[ivfTopK]]: IVF-style partition pruning — assign
+  *    every vector to its nearest centroid once, store bucketed; a query
+  *    probes only `nProbe` buckets (partition pruning on the centroid
+  *    column at 100 TB), trading recall for a ~nlist/nProbe scan cut;
+  *  - [[cosineLshBuckets]]: random-hyperplane (SimHash) bucketing as the
+  *    near-dup variant for embeddings.
+  */
+object Similarity {
+
+  /** dot(vec, lit) in double precision (promote floats first — keeps the
+    * product bit-identical across engines; summation is index-ordered).
+    */
+  def dotLit(vec: Column, q: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec, typedlit(q), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosineLit(vec: Column, q: Seq[Double]): Column = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    dotLit(vec, q) / (norm(vec) * lit(qn))
+  }
+
+  /** Exact cosine top-k for one query vector. Tie-break (sim DESC, id ASC)
+    * — the frozen total order.
+    */
+  def cosineTopK(df: DataFrame, id: String, vecCol: String, q: Seq[Double],
+      k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val base = excludeId.map(e => df.where(col(id) =!= e)).getOrElse(df)
+    base
+      .select(col(id), cosineLit(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-centroids: mean of vectors grouped by
+    * pmod(id, nlist). (One step of Lloyd's from a deterministic seed
+    * assignment — no RNG, reproducible at any parallelism.)
+    */
+  def centroids(df: DataFrame, id: String, vecCol: String, nlist: Int): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col(vecCol), i + 1).cast("double")).as(s"s$i"))
+    df.select(pmod(col(id), lit(nlist)).as("cid"), col(vecCol))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("cnt"), sums: _*)
+      .select(col("cid"),
+        array((0 until dim).map(i => col(s"s$i") / col("cnt")): _*).as("centroid"))
+  }
+
+  /** Assign each vector to its nearest centroid by cosine (centroids is
+    * small -> broadcast join; the assignment column becomes the partition
+    * key of the stored index at scale).
+    */
+  def ivfAssign(df: DataFrame, id: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val best = cents.map { case (cid, c) =>
+      struct(cosineLit(col(vecCol), c).as("sim"), lit(cid).as("cid"))
+    }.reduce((a, b) => when(
+      b.getField("sim") > a.getField("sim") ||
+        (b.getField("sim") === a.getField("sim") &&
+          b.getField("cid") < a.getField("cid")), b).otherwise(a))
+    df.withColumn("cid", best.getField("cid"))
+  }
+
+  /** IVF approximate top-k: probe the nProbe centroids nearest to q, scan
+    * only their buckets.
+    */
+  def ivfTopK(assigned: DataFrame, id: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])], q: Seq[Double], k: Int, nProbe: Int,
+      excludeId: Option[Long] = None): DataFrame = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val probes = cents.sortBy { case (cid, c) => (-cos(c, q), cid) }
+      .take(nProbe).map(_._1)
+    val base = excludeId.map(e => assigned.where(col(id) =!= e)).getOrElse(assigned)
+    base
+      .where(col("cid").isin(probes: _*))
+      .select(col(id), cosineLit(col(vecCol), q).as("sim"))
+      .orderBy(col("sim").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucket (sign bits of dot with `planes`):
+    * embedding near-dup bucketing. Planes are deterministic literals
+    * derived from splitmix64 of (seed, planeIdx, dim).
+    */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until nBits).map(b => (0 until dim).map { d =>
+      // uniform in [-1,1) — direction only, magnitude irrelevant
+      (mix(seed ^ (b.toLong << 32) ^ d.toLong) >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    })
+  }
+
+  def cosineLshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotLit(vec, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding near-dup pairs: bucket by LSH signature, verify exact
+    * cosine >= minSim inside buckets (equi-join on bucket, no cross join).
+    */
+  def embeddingNearDups(df: DataFrame, id: String, vecCol: String,
+      nBits: Int, minSim: Double): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(nBits, dim)
+    val b = df.select(col(id).as("vid"), col(vecCol).as("v"),
+      cosineLshBucket(col(vecCol), planes).as("bucket"))
+    val x = b.toDF("a", "va", "bucket")
+    val y = b.toDF("b", "vb", "bucket")
+    x.join(y, Seq("bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (aggregate(zip_with(col("va"), col("vb"), (p, q) =>
+          p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v) /
+          (norm(col("va")) * norm(col("vb")))).as("sim"))
+      .where(col("sim") >= minSim)
+      .groupBy("a", "b").agg(max("sim").as("sim"))
+  }
+}

@@ -1,0 +1,176 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon zeta"),          // exact dup of 1
+    (3L, "ALPHA beta GAMMA delta epsilon zeta"),          // case dup of 1
+    (4L, "alpha beta gamma delta epsilon eta"),           // near dup (last tok)
+    (5L, "totally different words here nothing shared"),
+    (6L, "one two3 four five six seven")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups by lowercased text, min id canonical") {
+    val r = Dedup.exactByText(docs, "doc_id", "text")
+      .select("doc_id", "canonical_id", "is_canonical")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).sortBy(_._1)
+    assert(r(0) == ((1L, 1L, true)))
+    assert(r(1) == ((2L, 1L, false)))
+    assert(r(2) == ((3L, 1L, false))) // case-normalized into doc 1's group
+    assert(r(4) == ((5L, 5L, true)))
+  }
+
+  test("jaccard pairs: hand-computed 3-shingle similarity") {
+    // doc1/doc4: 4 shingles each, 3 common -> j = 3/5 = 0.6
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val d14 = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    assert(d14.isDefined && math.abs(d14.get._3 - 0.6) < 1e-12)
+    // exact dups share everything -> j = 1.0
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
+  test("minhash LSH funnel finds the planted near-dups and exact dups") {
+    val dups = Dedup.minhashDuplicates(docs, "doc_id", "text", minJ = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((1L, 2L)))
+    assert(dups.contains((1L, 4L)) || dups.contains((2L, 4L)))
+    assert(!dups.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs hamming 0; near dups small; distinct far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(4L)) < ham(sigs(1L), sigs(5L)))
+    val pairs = Dedup.simhashDuplicates(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Seq(1f, 0f, 0f, 0f)),
+    (1L, Seq(1f, 0f, 0f, 0f)),   // identical to 0
+    (2L, Seq(0.9f, 0.1f, 0f, 0f)),
+    (3L, Seq(0f, 1f, 0f, 0f)),   // orthogonal
+    (4L, Seq(-1f, 0f, 0f, 0f)),  // opposite
+    (5L, Seq(0.5f, 0.5f, 0.5f, 0.5f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k exact order with tie-break") {
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val r = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, 5, Some(0L))
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 5L, 3L, 4L))
+    assert(r(0)._2 == 1.0)
+    assert(math.abs(r(2)._2 - 0.5) < 1e-12)
+    assert(r(3)._2 == 0.0 && r(4)._2 == -1.0)
+  }
+
+  test("ivf probes a centroid subset and still finds the identical vector") {
+    val cents = Similarity.centroids(vecs, "vec_id", "embedding", 2)
+      .as[(Long, Seq[Double])].collect().toSeq
+      .map { case (c, v) => (c.toInt, v) }.sortBy(_._1)
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents)
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val r = Similarity.ivfTopK(assigned, "vec_id", "embedding", cents, q, 3, 1, Some(0L))
+      .collect().map(_.getLong(0))
+    assert(r.contains(1L))
+  }
+
+  test("lsh near-dup bucketing finds identical pair") {
+    val r = Similarity.embeddingNearDups(vecs, "vec_id", "embedding", 8, 0.99)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.contains((0L, 1L)))
+    assert(!r.exists(p => p._2 == 4L)) // opposite vector is never a near-dup
+  }
+}
+
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token count and fingerprint are separator-invariant") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha, beta! gamma?"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+      TextStats.tokenCount(col("text")).as("n"),
+      TextStats.fingerprint(col("text")).as("fp"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.forall(_._2 == 3L))
+    assert(r(0)._3 == r(1)._3) // same tokens, different separators
+    assert(r(0)._3 != r(2)._3)
+  }
+
+  test("quality score: longer docs score higher, stopword-heavy lower") {
+    val df = Seq(
+      (1L, ("word " * 200).trim),
+      (2L, "word"),
+      (3L, ("the " * 100 + "word ").trim)).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), TextStats.qualityScore(col("text")).as("q"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > r(2L))
+    assert(r(1L) > r(3L)) // stopword-laden doc penalized
+    r.values.foreach(q => assert(q > 0.0 && q < 1.0))
+  }
+
+  test("langId picks the stopword-dominant language, und when none") {
+    val df = Seq(
+      (1L, "the cat and the dog are friends for ever with that hat"),
+      (2L, "der hund und die katze das ist nicht ein problem mit"),
+      (3L, "les chats sont dans une maison pour que sur des toits"),
+      (4L, "zzz qqq www")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "fr" && r(4L) == "und")
+  }
+
+  test("rolling hash is order-sensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val r = df.select(TextStats.rollingHash(col("text"))).collect().map(_.getLong(0))
+    assert(r(0) != r(1))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stub feature extraction: deterministic, correct schema and batch shape") {
+    val df = Seq(
+      (1L, "payload-one".getBytes("UTF-8")),
+      (2L, "payload-two-longer".getBytes("UTF-8")),
+      (3L, Array[Byte](0, 1, 2, 3, -1, -2))).toDF("mm_id", "payload")
+      .repartition(2)
+    val r1 = Multimodal.extractFeatures(df, "mm_id", "payload").collect()
+      .sortBy(_.getLong(0))
+    val r2 = Multimodal.extractFeatures(df, "mm_id", "payload").collect()
+      .sortBy(_.getLong(0))
+    assert(r1.length == 3)
+    r1.zip(r2).foreach { case (a, b) => assert(a == b) } // deterministic
+    r1.foreach { r =>
+      assert(r.getLong(1) > 0)               // n_bytes
+      assert(r.getInt(2) >= 64 && r.getInt(3) >= 64)
+      assert(r.getSeq[Float](5).size == Multimodal.FeatureDim)
+    }
+    assert(r1(0).getLong(1) == "payload-one".getBytes("UTF-8").length.toLong)
+  }
+}
