@@ -27,7 +27,10 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
 
-  /** One index build per (sfDir) per JVM — the gate queries all share it. */
+  /** One index build per (sfDir) per JVM — the gate queries all share it.
+    * [[warmIndex]] exposes the build for bench timing.
+    */
+  def warmIndex(s: SparkSession, dir: String): Unit = { indexFor(s, dir); () }
   private val indexCache = TrieMap.empty[String, BuiltIndex]
   private def indexFor(s: SparkSession, dir: String): BuiltIndex =
     indexCache.getOrElseUpdate(dir, {

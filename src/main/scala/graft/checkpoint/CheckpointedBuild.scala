@@ -1,0 +1,196 @@
+package graft.checkpoint
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract.Extract
+import graft.index.{Bm25, BuiltIndex, PostingBlocks}
+import graft.tokenize.Tokenizer
+
+/** One manifest row per committed build unit: the per-partition lineage +
+  * build metrics the north rule requires (analog of the reference's
+  * IndexingProgress, /root/reference/src/search/engine.rs:2779-2812, and
+  * its mid-build checkpoints, background_indexer.rs:648-694).
+  */
+case class ManifestRow(
+    stage: String,
+    part: Int,
+    rows: Long,
+    wall_ms: Long,
+    lineage: String,
+    committed_at: Long)
+
+/** Resumable index build with per-unit commit markers.
+  *
+  * Unit layout under `outDir`:
+  *   tf/slice=p/          — stage 1, one unit per docId-range slice of the
+  *                          input (the expensive extract+tokenize+tf pass;
+  *                          slicing by docId range aligns with input file
+  *                          ranges, so each unit re-scans only its files)
+  *   docs/ terms/ postings/ blocks/ stats/ — stage 2+, one unit each
+  *   manifest/<stage>_<part>/ — one-row parquet per committed unit
+  *
+  * A unit directory containing `_GRAFT_COMMITTED` is skipped on resume
+  * (the marker is written strictly after the unit's parquet commit). The
+  * reference analog: `already_indexed_files` skip-set + checkpoint save
+  * (background_indexer.rs:596-607,648-694). Since every unit is a pure
+  * function of its input slice, an interrupted+resumed build produces
+  * content-identical index tables to an uninterrupted one (asserted in
+  * CheckpointSpec).
+  */
+object CheckpointedBuild {
+
+  val Marker = "_GRAFT_COMMITTED"
+
+  def isCommitted(dir: String): Boolean = Files.exists(Paths.get(dir, Marker))
+
+  private def commit(spark: SparkSession, outDir: String, dir: String,
+      m: ManifestRow): Unit = {
+    import spark.implicits._
+    Seq(m).toDS().write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/manifest/${m.stage}_${m.part}")
+    Files.createFile(Paths.get(dir, Marker))
+  }
+
+  def manifest(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/manifest/*")
+
+  /** Resumable build. `pagesRaw` must have (doc_id, url, html) or
+    * (doc_id, url, text); when html is present the extraction front end
+    * runs inside stage 1 (it is the expensive pass being checkpointed).
+    * `onUnitCommitted` is a test seam for kill-mid-build scenarios.
+    */
+  def build(spark: SparkSession, pagesRaw: DataFrame, outDir: String,
+      slices: Int = 8,
+      blockBits: Int = PostingBlocks.DefaultBlockBits,
+      onUnitCommitted: (String, Int) => Unit = (_, _) => ()): BuiltIndex = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(outDir))
+
+    val hasHtml = pagesRaw.columns.contains("html")
+    val pages =
+      if (hasHtml)
+        pagesRaw.withColumn("text", Extract.extractText(col("html")))
+          .where(col("text").isNotNull)
+          .select("doc_id", "url", "text")
+      else pagesRaw.select("doc_id", "url", "text")
+
+    // ---- stage 1: per-slice extract+tokenize+tf (+ per-slice doc rows)
+    val bounds = pagesRaw.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo + slices) / slices)
+    for (p <- 0 until slices) {
+      val dir = s"$outDir/tf/slice=$p"
+      if (!isCommitted(dir)) {
+        val t0 = System.nanoTime()
+        val sLo = lo + p * width
+        val sHi = if (p == slices - 1) hi + 1 else lo + (p + 1) * width
+        val slice = pages
+          .where(col("doc_id") >= sLo && col("doc_id") < sHi)
+          .where(Extract.safe(col("text")))
+        val tf = slice
+          .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).cast("int").as("tf"))
+        tf.write.mode(SaveMode.Overwrite).parquet(dir)
+        val docsDir = s"$outDir/docs_raw/slice=$p"
+        slice.select("doc_id", "url").write.mode(SaveMode.Overwrite).parquet(docsDir)
+        val n = spark.read.parquet(dir).count()
+        commit(spark, outDir, dir, ManifestRow("tf", p, n,
+          (System.nanoTime() - t0) / 1000000,
+          s"doc_id:[$sLo,$sHi)", System.currentTimeMillis()))
+        onUnitCommitted("tf", p)
+      }
+    }
+
+    val tfR = spark.read.parquet(s"$outDir/tf/slice=*")
+    val docsRaw = spark.read.parquet(s"$outDir/docs_raw/slice=*")
+
+    // ---- stage 2: docs dimension
+    if (!isCommitted(s"$outDir/docs")) {
+      val t0 = System.nanoTime()
+      val docLens = tfR.groupBy("doc_id").agg(sum("tf").as("doc_len"))
+      docsRaw.join(docLens, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("doc_len"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
+      commit(spark, outDir, s"$outDir/docs", ManifestRow("docs", 0,
+        spark.read.parquet(s"$outDir/docs").count(),
+        (System.nanoTime() - t0) / 1000000, "tf/slice=*", System.currentTimeMillis()))
+      onUnitCommitted("docs", 0)
+    }
+    val docsR = spark.read.parquet(s"$outDir/docs")
+
+    val statsRow = docsR.agg(count(lit(1)), sum("doc_len")).head()
+    val numDocs = statsRow.getLong(0)
+    val totalTokens = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val avgdl = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs.toDouble
+
+    // ---- stage 3: term dictionary
+    if (!isCommitted(s"$outDir/terms")) {
+      val t0 = System.nanoTime()
+      tfR.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("term_id", xxhash64(col("term")))
+        .withColumn("idf", Bm25.idfCol(numDocs, col("df")))
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
+      commit(spark, outDir, s"$outDir/terms", ManifestRow("terms", 0,
+        spark.read.parquet(s"$outDir/terms").count(),
+        (System.nanoTime() - t0) / 1000000, "tf/slice=*", System.currentTimeMillis()))
+      onUnitCommitted("terms", 0)
+    }
+    val termsR = spark.read.parquet(s"$outDir/terms")
+
+    // ---- stage 4: postings with impacts
+    if (!isCommitted(s"$outDir/postings")) {
+      val t0 = System.nanoTime()
+      tfR.join(docsR.select("doc_id", "doc_len"), Seq("doc_id"))
+        .join(termsR.select("term", "term_id", "idf"), Seq("term"))
+        .select(col("term_id"), col("doc_id"), col("tf"),
+          Bm25.impactCol(col("tf").cast("double"),
+            col("doc_len").cast("double"), avgdl, col("idf")).as("impact"))
+        .repartitionByRange(col("term_id"))
+        .sortWithinPartitions("term_id", "doc_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/postings")
+      commit(spark, outDir, s"$outDir/postings", ManifestRow("postings", 0,
+        spark.read.parquet(s"$outDir/postings").count(),
+        (System.nanoTime() - t0) / 1000000, "tf+docs+terms", System.currentTimeMillis()))
+      onUnitCommitted("postings", 0)
+    }
+    val postingsR = spark.read.parquet(s"$outDir/postings")
+
+    // ---- stage 5: compressed blocks
+    if (!isCommitted(s"$outDir/blocks")) {
+      val t0 = System.nanoTime()
+      postingsR
+        .withColumn("block_id", shiftright(col("doc_id"), blockBits))
+        .groupBy("term_id", "block_id")
+        .agg(PostingBlocks.blockAgg(col("doc_id"), col("tf"), col("impact")).as("blk"))
+        .select(col("term_id"), col("block_id"),
+          col("blk.n").as("n"), col("blk.docs_enc").as("docs_enc"),
+          col("blk.tfs_enc").as("tfs_enc"),
+          col("blk.impacts_enc").as("impacts_enc"),
+          col("blk.block_max").as("block_max"))
+        .repartitionByRange(col("term_id"), col("block_id"))
+        .sortWithinPartitions("term_id", "block_id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/blocks")
+      commit(spark, outDir, s"$outDir/blocks", ManifestRow("blocks", 0,
+        spark.read.parquet(s"$outDir/blocks").count(),
+        (System.nanoTime() - t0) / 1000000, "postings", System.currentTimeMillis()))
+      onUnitCommitted("blocks", 0)
+    }
+
+    // ---- stage 6: stats
+    if (!isCommitted(s"$outDir/stats")) {
+      val t0 = System.nanoTime()
+      Seq(graft.index.IndexStats(numDocs, totalTokens, avgdl,
+        termsR.count(), postingsR.count()))
+        .toDS().write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
+      commit(spark, outDir, s"$outDir/stats", ManifestRow("stats", 0, 1,
+        (System.nanoTime() - t0) / 1000000, "docs+terms+postings",
+        System.currentTimeMillis()))
+      onUnitCommitted("stats", 0)
+    }
+
+    new BuiltIndex(spark, outDir)
+  }
+}

@@ -31,37 +31,79 @@ object Dedup {
       .withColumn("is_canonical", col(id) === col("canonical_id"))
   }
 
-  /** Token n-gram shingles (distinct), as a column expression. Guarded for
-    * docs shorter than n tokens (Spark `sequence` would descend).
+  /** Token n-gram shingles (distinct) from an already-materialized token
+    * ARRAY column. Guarded for docs shorter than n tokens (Spark
+    * `sequence` would descend). Taking the token array as a bound column
+    * matters: referencing `tokensCol(text)` inside the transform lambda
+    * would re-tokenize the full text per element (quadratic per doc).
     */
-  def shinglesCol(text: Column, n: Int): Column = {
-    val toks = Tokenizer.tokensCol(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val count = size(toks) - lit(n - 1)
     val raw = transform(sequence(lit(1), count), i =>
       concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
     array_distinct(when(count >= 1, raw).otherwise(array()))
   }
 
-  /** Exploded distinct shingle rows: (id, shingle). */
+  /** Exploded distinct shingle rows: (id, shingle). Tokens materialize in
+    * a projection of their own so the shingle lambda reads an attribute,
+    * not a recomputed expression.
+    */
   def shingleRows(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.select(col(id).as("sid"), explode(shinglesCol(col(text), n)).as("s"))
+    df.select(col(id).as("sid"), Tokenizer.tokensCol(col(text)).as("toks"))
+      .select(col("sid"), explode(shinglesFromTokens(col("toks"), n)).as("s"))
 
   /** Exact pairwise n-gram Jaccard over shingle sets, for pairs with
     * similarity >= minJ. Only pairs sharing a shingle are generated
     * (shingle-key equi-join, no cross product).
     */
+  /** Exact threshold Jaccard join via prefix + length filtering (PPJoin
+    * family): with shingles globally ordered rarest-first, two sets with
+    * j >= t MUST share a shingle inside their prefixes of size
+    * |A| - ceil(t*|A|) + 1. Candidate pairs therefore join only on
+    * low-frequency prefix shingles — this is what defuses the hot-shingle
+    * skew (a stopword shingle present in every doc would otherwise emit
+    * O(N^2) pair rows on one join key). Candidates are then verified with
+    * an exact intersection count, so results are EXACT.
+    */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
       minJ: Double): DataFrame = {
     val sh = shingleRows(df, id, text, n)
     val sizes = sh.groupBy("sid").agg(count(lit(1)).as("sz"))
-    val x = sh.toDF("a", "s")
-    val y = sh.toDF("b", "s")
-    val common = x.join(y, Seq("s"))
-      .where(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.toDF("a", "na"), Seq("a"))
-      .join(sizes.toDF("b", "nb"), Seq("b"))
+    val sdf = sh.groupBy("s").agg(count(lit(1)).as("sdf"))
+
+    // per-doc prefix of the (globally) rarest shingles
+    val w = Window.partitionBy("sid").orderBy(col("sdf").asc, col("s").asc)
+    val prefix = sh.join(sdf, Seq("s")).join(sizes, Seq("sid"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("sz") - ceil(lit(minJ) * col("sz")) + 1)
+      .select(col("sid"), col("s"), col("sz"))
+
+    // candidate generation on prefixes + length filter (j <= min/max)
+    val x = prefix.toDF("a", "s", "na")
+    val y = prefix.toDF("b", "s", "nb")
+    val cands = x.join(y, Seq("s"))
+      .where(col("a") < col("b") &&
+        least(col("na"), col("nb")).cast("double") >=
+          lit(minJ) * greatest(col("na"), col("nb")).cast("double"))
+      .select("a", "b").distinct()
+
+    verifyJaccard(cands, sh, minJ)
+  }
+
+  /** Exact Jaccard verification of candidate (a,b) pairs: join each side
+    * with its full shingle ARRAY (a compact per-doc dimension — two hash
+    * joins on ids, no exploded shingle join), intersect inside codegen.
+    */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+      minJ: Double): DataFrame = {
+    val shArr = sh.groupBy("sid")
+      .agg(collect_list(col("s")).as("arr"), count(lit(1)).as("sz"))
+    cands
+      .join(shArr.select(col("sid").as("a"), col("arr").as("arr_a"),
+        col("sz").as("na")), Seq("a"))
+      .join(shArr.select(col("sid").as("b"), col("arr").as("arr_b"),
+        col("sz").as("nb")), Seq("b"))
+      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .withColumn("j",
         col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
       .where(col("j") >= minJ)
@@ -83,7 +125,7 @@ object Dedup {
     * with the estimated Jaccard (fraction of equal signature components).
     */
   def minhashCandidates(df: DataFrame, id: String, text: String,
-      n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+      n: Int = 3, k: Int = 64, bands: Int = 8): DataFrame = {
     require(k % bands == 0)
     val rpb = k / bands
     val sigs = minhashSignatures(df, id, text, n, k)
@@ -111,22 +153,16 @@ object Dedup {
     * the full funnel (candidates via banding, exact check via shingle
     * join restricted to candidates).
     */
+  /** Band geometry: k=64, bands=8 (r=8 rows/band) keeps the candidate
+    * rate low on corpora with high baseline similarity (P[collide] =
+    * 1-(1-j^8)^8 is ~0.3% at j=0.37 but ~100% at j=0.95); candidates are
+    * exactly verified, so banding only affects recall near the threshold.
+    */
   def minhashDuplicates(df: DataFrame, id: String, text: String,
-      n: Int = 3, k: Int = 64, bands: Int = 16, minJ: Double = 0.8): DataFrame = {
+      n: Int = 3, k: Int = 64, bands: Int = 8, minJ: Double = 0.8): DataFrame = {
     val cands = minhashCandidates(df, id, text, n, k, bands).select("a", "b")
     val sh = shingleRows(df, id, text, n)
-    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("sz"))
-    val common = cands
-      .join(sh.toDF("a", "s"), Seq("a"))
-      .join(sh.toDF("b", "s"), Seq("s", "b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.toDF("a", "na"), Seq("a"))
-      .join(sizes.toDF("b", "nb"), Seq("b"))
-      .withColumn("j",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
-      .where(col("j") >= minJ)
-      .select("a", "b", "j")
+    verifyJaccard(cands, sh, minJ)
   }
 
   /** 64-bit SimHash over the token stream: per-occurrence xxhash64 (seed

@@ -69,13 +69,13 @@ object Similarity {
     */
   def ivfAssign(df: DataFrame, id: String, vecCol: String,
       cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val best = cents.map { case (cid, c) =>
-      struct(cosineLit(col(vecCol), c).as("sim"), lit(cid).as("cid"))
-    }.reduce((a, b) => when(
-      b.getField("sim") > a.getField("sim") ||
-        (b.getField("sim") === a.getField("sim") &&
-          b.getField("cid") < a.getField("cid")), b).otherwise(a))
-    df.withColumn("cid", best.getField("cid"))
+    // argmax via array_max over (sim, -cid) structs: each cosine is
+    // evaluated exactly once (a when(...)-reduce would duplicate the
+    // 64-dim aggregate expressions exponentially), ties -> smallest cid.
+    val sims = array(cents.map { case (cid, c) =>
+      struct(cosineLit(col(vecCol), c).as("sim"), lit(-cid).as("ncid"))
+    }: _*)
+    df.withColumn("cid", -array_max(sims).getField("ncid"))
   }
 
   /** IVF approximate top-k: probe the nProbe centroids nearest to q, scan

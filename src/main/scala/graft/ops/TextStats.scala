@@ -59,23 +59,16 @@ object TextStats {
 
   def langId(text: Column): Column = {
     val toks = Tokenizer.tokensCol(text)
-    val scores = langWords.map { case (lang, words) =>
+    // argmax via array_max over (hits, prio, lang) structs — single
+    // evaluation per language, ties resolved by preference order (earlier
+    // language in langWords wins via higher prio).
+    val cand = array(langWords.zipWithIndex.map { case ((lang, words), i) =>
       struct(
         size(filter(toks, t => t.isInCollection(words))).as("hits"),
+        lit(langWords.size - i).as("prio"),
         lit(lang).as("lang"))
-    }
-    // argmax by hits; array_max on structs compares fields in order, so
-    // ties resolve by lang string desc — make order deterministic by
-    // sorting preference into the struct explicitly instead
-    val best = langWords.zip(scores).zipWithIndex.map {
-      case (((_, _), s), i) =>
-        // encode preference: earlier languages win ties via higher prio
-        struct(s.getField("hits").as("hits"),
-          lit(langWords.size - i).as("prio"), s.getField("lang").as("lang"))
-    }.reduce((a, b) => when(
-      b.getField("hits") > a.getField("hits") ||
-        (b.getField("hits") === a.getField("hits") &&
-          b.getField("prio") > a.getField("prio")), b).otherwise(a))
+    }: _*)
+    val best = array_max(cand)
     when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
   }
 

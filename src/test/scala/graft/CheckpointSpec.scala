@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.checkpoint.CheckpointedBuild
+import graft.corpus.PagesCorpus
+import graft.query.Bm25Query
+
+/** Kill-and-resume fixture (FIXTURES.md §4): interrupt the build after k
+  * committed units, resume, assert (a) committed units not recomputed
+  * (manifest timestamps unchanged), (b) final index content-identical to
+  * an uninterrupted build.
+  */
+class CheckpointSpec extends AnyFunSuite {
+
+  private val n = 300L
+  private lazy val spark = TestSpark.spark
+
+  private case class Boom() extends RuntimeException("injected kill")
+
+  test("kill after 3 tf slices, resume, index content-identical") {
+    val dirA = Files.createTempDirectory("graft-ckpt-a").toString
+    val dirB = Files.createTempDirectory("graft-ckpt-b").toString
+    val raw = PagesCorpus.pages(spark, n, parts = 4).toDF()
+
+    // uninterrupted reference build
+    val idxB = CheckpointedBuild.build(spark, raw, dirB, slices = 6)
+
+    // interrupted build: die after the 3rd committed tf slice
+    var committed = 0
+    intercept[Boom] {
+      CheckpointedBuild.build(spark, raw, dirA, slices = 6,
+        onUnitCommitted = (stage, _) => {
+          if (stage == "tf") { committed += 1; if (committed == 3) throw Boom() }
+        })
+    }
+    assert((0 until 3).forall(p =>
+      CheckpointedBuild.isCommitted(s"$dirA/tf/slice=$p")))
+    assert((3 until 6).forall(p =>
+      !CheckpointedBuild.isCommitted(s"$dirA/tf/slice=$p")))
+
+    // snapshot manifest timestamps of the committed slices
+    val before = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "tf")
+      .collect().map(r => r.getAs[Int]("part") -> r.getAs[Long]("committed_at")).toMap
+    assert(before.keySet == Set(0, 1, 2))
+
+    // resume
+    val idxA = CheckpointedBuild.build(spark, raw, dirA, slices = 6)
+
+    // (a) committed units were skipped: their manifest rows are untouched
+    val after = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "tf")
+      .collect().map(r => r.getAs[Int]("part") -> r.getAs[Long]("committed_at")).toMap
+    assert(after.size == 6)
+    (0 until 3).foreach(p => assert(after(p) == before(p), s"slice $p recomputed"))
+
+    // (b) content-identical index tables
+    def canon(path: String, table: String, cols: Seq[String]): Seq[String] = {
+      spark.read.parquet(s"$path/$table").select(cols.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(canon(dirA, "docs", Seq("doc_id", "url", "doc_len")) ==
+      canon(dirB, "docs", Seq("doc_id", "url", "doc_len")))
+    assert(canon(dirA, "terms", Seq("term_id", "term", "df", "idf")) ==
+      canon(dirB, "terms", Seq("term_id", "term", "df", "idf")))
+    assert(canon(dirA, "postings", Seq("term_id", "doc_id", "tf", "impact")) ==
+      canon(dirB, "postings", Seq("term_id", "doc_id", "tf", "impact")))
+    assert(canon(dirA, "blocks", Seq("term_id", "block_id", "n", "block_max")) ==
+      canon(dirB, "blocks", Seq("term_id", "block_id", "n", "block_max")))
+    assert(idxA.stats == idxB.stats)
+
+    // and queries agree end-to-end
+    val q = PagesCorpus.vocab(2)
+    val a = Bm25Query.searchBlocks(idxA, q, 10).collect().map(h => (h.doc_id, h.score))
+    val b = Bm25Query.searchBlocks(idxB, q, 10).collect().map(h => (h.doc_id, h.score))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("manifest carries lineage and metrics per unit") {
+    val dir = Files.createTempDirectory("graft-ckpt-m").toString
+    CheckpointedBuild.build(spark, PagesCorpus.pages(spark, 100L, parts = 2).toDF(),
+      dir, slices = 2)
+    val m = CheckpointedBuild.manifest(spark, dir).collect()
+    val stages = m.map(_.getAs[String]("stage")).toSet
+    assert(stages == Set("tf", "docs", "terms", "postings", "blocks", "stats"))
+    m.foreach { r =>
+      assert(r.getAs[Long]("rows") >= 0)
+      assert(r.getAs[String]("lineage").nonEmpty)
+    }
+    // tf slices carry their docId range lineage
+    val tf0 = m.find(r => r.getAs[String]("stage") == "tf" && r.getAs[Int]("part") == 0).get
+    assert(tf0.getAs[String]("lineage").startsWith("doc_id:["))
+  }
+}

@@ -39,7 +39,9 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minhash LSH funnel finds the planted near-dups and exact dups") {
-    val dups = Dedup.minhashDuplicates(docs, "doc_id", "text", minJ = 0.5)
+    // r=2 rows/band so the j=0.6 planted pair collides with certainty
+    val dups = Dedup.minhashDuplicates(docs, "doc_id", "text",
+      k = 64, bands = 32, minJ = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dups.contains((1L, 2L)))
     assert(dups.contains((1L, 4L)) || dups.contains((2L, 4L)))
