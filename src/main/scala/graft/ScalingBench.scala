@@ -71,6 +71,9 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 40000L
     val n = if (args.length > 1) args(1).toInt else 8
+    // JIT warmup: a small untimed build so the first measured run is not
+    // penalized by cold codegen/JIT (it inflated efficiency to >1 before).
+    runAt(n, math.max(2000L, nDocs / 20))
     val rN = runAt(n, nDocs)
     val r4N = runAt(4 * n, nDocs)
     val eff = r4N.docsPerSec / (4.0 * rN.docsPerSec)

@@ -196,7 +196,41 @@ object SparkEntry {
           unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 4).as("total_value"))))
+          round(sum(col("value")), 4).as("total_value"))),
+
+    // --- P7: case-insensitive substring position (verification scan) ---
+    "p7_substring_pos" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          instr(lower(col("text")), "spark merge").cast("long").as("pos"))
+        .where(col("pos") > 0)),
+
+    // --- P8: snippet window around the match ---
+    "p8_snippet" -> ((s, dir) =>
+      documents(s, dir)
+        .withColumn("pos", instr(lower(col("text")), "vector"))
+        .where(col("pos") > 0)
+        .select(col("doc_id"),
+          substring(col("text"),
+            greatest(lit(1), col("pos") - 20), lit(50)).as("snippet"))),
+
+    // --- A3: in-degree style count (groupBy-count shape) ---
+    "a3_indegree" -> ((s, dir) =>
+      documents(s, dir).groupBy("source").agg(count(lit(1)).as("n_docs"))),
+
+    // --- U2: set difference (staleness-triage shape) ---
+    "u2_except" -> ((s, dir) =>
+      documents(s, dir).where(col("lang") === "en").select("doc_id")
+        .except(documents(s, dir).where(col("n_chars") < 200).select("doc_id"))),
+
+    // --- W2: fast-rank cut — rank on cheap metadata, rescore top slice ---
+    "w2_fast_rank" -> ((s, dir) => {
+      val top = documents(s, dir)
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(100)
+      top.select(col("doc_id"),
+          round(TextStats.qualityScore(col("text")), 4).as("quality"))
+        .orderBy(col("quality").desc, col("doc_id").asc).limit(10)
+    }))
 
   // ---------------------------------------------------------------------
 
@@ -342,5 +376,36 @@ object SparkEntry {
     "st_windowed_events" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |       event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "p7_substring_pos" ->
+      """SELECT doc_id, CAST(strpos(lower(text), 'spark merge') AS BIGINT) AS pos
+        |FROM documents WHERE strpos(lower(text), 'spark merge') > 0""".stripMargin,
+
+    "p8_snippet" ->
+      """SELECT doc_id,
+        |       substr(text, greatest(1, strpos(lower(text), 'vector') - 20), 50) AS snippet
+        |FROM documents WHERE strpos(lower(text), 'vector') > 0""".stripMargin,
+
+    "a3_indegree" ->
+      "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
+
+    "u2_except" ->
+      """SELECT doc_id FROM documents WHERE lang = 'en'
+        |EXCEPT SELECT doc_id FROM documents WHERE n_chars < 200""".stripMargin,
+
+    "w2_fast_rank" ->
+      s"""WITH top100 AS (
+         |  SELECT doc_id, text FROM documents
+         |  ORDER BY n_chars DESC, doc_id ASC LIMIT 100),
+         |t AS (SELECT doc_id,
+         |             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |                             x -> length(x) > 2)) AS n_tokens,
+         |             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |                             x -> x = 'the')) AS stops
+         |      FROM top100)
+         |SELECT doc_id,
+         |       round(1.0 / (1.0 + exp(-(ln(1.0 + n_tokens) / 2.0 -
+         |             2.0 * (stops * 1.0 / n_tokens)))), 4) AS quality
+         |FROM t ORDER BY quality DESC, doc_id ASC LIMIT 10""".stripMargin)
 }

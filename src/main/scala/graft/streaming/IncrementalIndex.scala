@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.extract.Extract
+import graft.tokenize.Tokenizer
+
+/** Incremental index maintenance via Structured Streaming — the Spark
+  * re-expression of the reference's watcher pipeline:
+  *
+  *  - file-watcher source with debounce
+  *    (/root/reference/src/search/watcher.rs:16-160) -> streaming file
+  *    source + trigger interval;
+  *  - append-only upsert: a modified file is simply re-indexed and its
+  *    postings APPENDED; stale postings are tolerated, deletes are no-ops
+  *    (engine.rs:2676-2681, main.rs:270-277) — we keep exactly those
+  *    semantics: the merged view takes the LATEST batch per doc;
+  *  - save-after-N-updates checkpointing (config.rs:150) -> the streaming
+  *    checkpoint location (exactly-once per micro-batch).
+  *
+  * Layout under `indexDir`:
+  *   stream_tf/batch=<id>/   — per-micro-batch tf rows (term, doc_id, tf,
+  *                             batch) — appended, never rewritten
+  *   stream_docs/batch=<id>/ — per-batch (doc_id, url, doc_len, batch)
+  */
+object IncrementalIndex {
+
+  /** Per-batch ingest: extract -> safety gate -> tokenize -> tf, appended
+    * under the batch id. Pure function of the batch content.
+    */
+  def appendBatch(batch: DataFrame, indexDir: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val hasHtml = batch.columns.contains("html")
+    val pages =
+      if (hasHtml)
+        batch.withColumn("text", Extract.extractText(col("html")))
+          .where(col("text").isNotNull)
+      else batch
+    val clean = pages.where(Extract.safe(col("text")))
+      .select(col("doc_id"), col("url"), col("text"))
+    val tf = clean
+      .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).cast("int").as("tf"))
+      .withColumn("batch", lit(batchId))
+    tf.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stream_tf/batch=$batchId")
+    clean.select("doc_id", "url")
+      .join(tf.groupBy("doc_id").agg(sum("tf").as("doc_len")), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("doc_len"))
+      .withColumn("batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stream_docs/batch=$batchId")
+  }
+
+  /** Start the maintenance stream over a directory of page parquet files.
+    * `Trigger.AvailableNow` drains everything present then stops (the test
+    * mode); pass a ProcessingTime trigger for a long-lived watcher.
+    */
+  def start(spark: SparkSession, sourceDir: String, indexDir: String,
+      schema: StructType,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", s"$indexDir/_stream_checkpoint")
+      .foreachBatch { (b: DataFrame, id: Long) => appendBatch(b, indexDir, id) }
+      .start()
+
+  /** Merged current view of the streamed index: latest batch wins per
+    * doc (the reference keeps stale postings around until a full rebuild;
+    * exposing latest-wins at read time is the same contract with the
+    * staleness removed at query time instead of compaction time).
+    */
+  def currentTf(spark: SparkSession, indexDir: String): DataFrame = {
+    val tf = spark.read.parquet(s"$indexDir/stream_tf/batch=*")
+    val latest = tf.groupBy("doc_id").agg(max("batch").as("batch"))
+    tf.join(latest, Seq("doc_id", "batch")).select("term", "doc_id", "tf")
+  }
+
+  def currentDocs(spark: SparkSession, indexDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$indexDir/stream_docs/batch=*")
+    val latest = d.groupBy("doc_id").agg(max("batch").as("batch"))
+    d.join(latest, Seq("doc_id", "batch")).select("doc_id", "url", "doc_len")
+  }
+}

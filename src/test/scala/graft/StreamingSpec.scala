@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.corpus.PagesCorpus
+import graft.streaming.IncrementalIndex
+import graft.tokenize.Tokenizer
+
+/** Streaming incremental maintenance (reference ST1/ST2 semantics:
+  * watcher-driven re-index, append-only, latest state wins).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("incremental stream ingests new files and updates overwrite old state") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-stream-src").toString
+    val idx = Files.createTempDirectory("graft-stream-idx").toString
+
+    // wave 1: docs 0..49
+    val wave1 = PagesCorpus.pages(spark, 50, parts = 2)
+      .select("doc_id", "url", "text")
+    wave1.write.mode(SaveMode.Overwrite).parquet(s"$src/wave1")
+    val schema = wave1.schema
+
+    val q1 = IncrementalIndex.start(spark, s"$src/wave*", idx, schema)
+    q1.awaitTermination()
+
+    val tf1 = IncrementalIndex.currentTf(spark, idx)
+    val batchTf1 = wave1.where(graft.extract.Extract.safe(col("text")))
+      .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).cast("int").as("tf"))
+    assert(tf1.count() == batchTf1.count())
+    assert(tf1.except(batchTf1).isEmpty && batchTf1.except(tf1).isEmpty)
+
+    // wave 2: docs 50..79 arrive + doc 1 is MODIFIED (new content)
+    val wave2 = PagesCorpus.pages(spark, 80, parts = 2)
+      .where(col("doc_id") >= 50)
+      .select("doc_id", "url", "text")
+      .unionAll(Seq((1L, PagesCorpus.url(1),
+        "completely new body with replacement tokens only"))
+        .toDF("doc_id", "url", "text"))
+    wave2.write.mode(SaveMode.Overwrite).parquet(s"$src/wave2")
+
+    val q2 = IncrementalIndex.start(spark, s"$src/wave*", idx, schema)
+    q2.awaitTermination()
+
+    val tf2 = IncrementalIndex.currentTf(spark, idx)
+    // new docs present
+    assert(tf2.where(col("doc_id") === 60).count() > 0)
+    // modified doc: latest wins — old tokens gone, new tokens present
+    val doc1Terms = tf2.where(col("doc_id") === 1)
+      .select("term").as[String].collect().toSet
+    assert(doc1Terms == Set("completely", "new", "body", "with",
+      "replacement", "tokens", "only"))
+    // unmodified docs unchanged
+    val d5a = tf1.where(col("doc_id") === 5).orderBy("term")
+      .collect().map(_.toString).toSeq
+    val d5b = tf2.where(col("doc_id") === 5).orderBy("term")
+      .collect().map(_.toString).toSeq
+    assert(d5a == d5b)
+    // docs dimension tracks latest doc_len
+    val dl = IncrementalIndex.currentDocs(spark, idx)
+      .where(col("doc_id") === 1).select("doc_len").head().getLong(0)
+    assert(dl == 7L)
+  }
+}
