@@ -223,6 +223,15 @@ object SparkEntry {
       documents(s, dir).where(col("lang") === "en").select("doc_id")
         .except(documents(s, dir).where(col("n_chars") < 200).select("doc_id"))),
 
+    // --- P2/J1 regex path: literal extraction -> index prefilter -> verify ---
+    "p3_regex_accel" -> ((s, dir) =>
+      graft.query.RegexQuery.search(indexFor(s, dir), documents(s, dir),
+        "spark\\s+\\w+\\s+merge", 1000).toDF().select("doc_id")),
+
+    "p3_regex_fullscan" -> ((s, dir) =>
+      graft.query.RegexQuery.search(indexFor(s, dir), documents(s, dir),
+        "ba.ch", 1000).toDF().select("doc_id")),
+
     // --- W2: fast-rank cut — rank on cheap metadata, rescore top slice ---
     "w2_fast_rank" -> ((s, dir) => {
       val top = documents(s, dir)
@@ -389,6 +398,14 @@ object SparkEntry {
 
     "a3_indegree" ->
       "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
+
+    "p3_regex_accel" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(lower(text), 'spark\s+\w+\s+merge')""".stripMargin,
+
+    "p3_regex_fullscan" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(lower(text), 'ba.ch')""".stripMargin,
 
     "u2_except" ->
       """SELECT doc_id FROM documents WHERE lang = 'en'
