@@ -18,14 +18,15 @@ import graft.query.Bm25Query
 object SearchCli {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder = SparkSession.builder()
       .appName("graft-search-cli")
-      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // respect spark-submit's --master / shuffle config when present
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, args) finally spark.stop()
   }
@@ -42,7 +43,7 @@ object SearchCli {
         f"postings=${s.num_postings} avgdl=${s.avgdl}%.2f " +
         f"wall=${secs}%.1fs docs_per_sec=${s.num_docs / secs}%.0f")
     case "query" :: dir :: k :: mode :: rest if rest.nonEmpty =>
-      val idx = IndexBuilder.load(spark, dir)
+      val idx = IndexBuilder.load(spark, dir).cacheHot()
       val q = rest.mkString(" ")
       val conj = mode != "or"
       val t0 = System.nanoTime()

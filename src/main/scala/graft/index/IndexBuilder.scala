@@ -37,6 +37,20 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
     import spark.implicits._
     spark.read.parquet(s"$path/stats").as[IndexStats].head()
   }
+
+  /** Pin the hot query-path tables in executor memory (spill-to-disk) and
+    * materialize them — the serving-mode analog of the reference holding
+    * its whole index in RAM (README.md:517 'pre-indexed in RAM'). Scale
+    * note: blocks+terms are the compressed index (a small fraction of the
+    * corpus); at cluster scale this is the standard hot-tier cache, and
+    * anything that doesn't fit degrades gracefully to the parquet scan.
+    */
+  def cacheHot(): this.type = {
+    blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    terms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    blocks.count(); terms.count()
+    this
+  }
 }
 
 /** Distributed inverted-index build — the Spark re-expression of the
@@ -92,16 +106,21 @@ object IndexBuilder {
     val totalTokens = if (Row0.isNullAt(1)) 0L else Row0.getLong(1)
     val avgdl = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs.toDouble
 
-    // A4/A2: term dictionary with df and idf.
+    // A4/A2: term dictionary with df and idf. Row counts for the stats
+    // table ride along as Observation metrics — no re-scan jobs (at corpus
+    // scale a bare .count() would re-read the whole table).
+    val termsObs = org.apache.spark.sql.Observation("terms_n")
     val terms = tfR.groupBy("term")
       .agg(count(lit(1)).as("df"))
       .withColumn("term_id", xxhash64(col("term")))
       .withColumn("idf", Bm25.idfCol(numDocs, col("df")))
+      .observe(termsObs, count(lit(1)).as("n"))
     terms.write.mode("overwrite").parquet(s"$outDir/terms")
     val termsR = spark.read.parquet(s"$outDir/terms")
 
     // Posting rows with precomputed BM25 impact. Two shuffle joins, both
     // on keys the sides were just aggregated by.
+    val postObs = org.apache.spark.sql.Observation("postings_n")
     val postings = tfR
       .join(docsR.select("doc_id", "doc_len"), Seq("doc_id"))
       .join(termsR.select("term", "term_id", "idf"), Seq("term"))
@@ -109,6 +128,7 @@ object IndexBuilder {
         col("term_id"), col("doc_id"), col("tf"),
         Bm25.impactCol(col("tf").cast("double"),
           col("doc_len").cast("double"), avgdl, col("idf")).as("impact"))
+      .observe(postObs, count(lit(1)).as("n"))
     postings
       .repartitionByRange(col("term_id"))
       .sortWithinPartitions("term_id", "doc_id")
@@ -132,8 +152,8 @@ object IndexBuilder {
       .sortWithinPartitions("term_id", "block_id")
       .write.mode("overwrite").parquet(s"$outDir/blocks")
 
-    val numTerms = termsR.count()
-    val numPostings = postingsR.count()
+    val numTerms = termsObs.get("n").asInstanceOf[Long]
+    val numPostings = postObs.get("n").asInstanceOf[Long]
     Seq(IndexStats(numDocs, totalTokens, avgdl, numTerms, numPostings))
       .toDS().write.mode("overwrite").parquet(s"$outDir/stats")
 

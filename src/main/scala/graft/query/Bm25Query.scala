@@ -114,11 +114,24 @@ object Bm25Query {
     Some(scored.select("doc_id", "score"))
   }
 
+  /** P5: include/exclude glob filter on urls, applied to the CANDIDATE set
+    * after index lookup (reference semantics, engine.rs:1464-1472).
+    */
+  private def restrict(index: BuiltIndex, scored: DataFrame,
+      include: Seq[String], exclude: Seq[String]): DataFrame =
+    if (include.isEmpty && exclude.isEmpty) scored
+    else scored.join(
+      index.docs.where(PathFilter.predicate(col("url"), include, exclude))
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
   def searchNaive(index: BuiltIndex, query: String, k: Int,
-      conjunctive: Boolean = true): Dataset[Hit] =
+      conjunctive: Boolean = true,
+      include: Seq[String] = Nil, exclude: Seq[String] = Nil): Dataset[Hit] =
     scoredNaive(index, query, conjunctive) match {
       case None => emptyHits(index.spark)
-      case Some(scored) => finish(index, scored, clampK(k))
+      case Some(scored) =>
+        finish(index, restrict(index, scored, include, exclude), clampK(k))
     }
 
   private def clampK(k: Int): Int = math.max(1, math.min(k, 1000))
@@ -271,9 +284,20 @@ object Bm25Query {
   }
 
   def searchBlocks(index: BuiltIndex, query: String, k: Int,
-      conjunctive: Boolean = true): Dataset[Hit] =
-    scoredBlocks(index, query, clampK(k), conjunctive) match {
-      case None => emptyHits(index.spark)
-      case Some(scored) => finish(index, scored, clampK(k))
+      conjunctive: Boolean = true,
+      include: Seq[String] = Nil, exclude: Seq[String] = Nil): Dataset[Hit] = {
+    val kk = clampK(k)
+    if (include.nonEmpty || exclude.nonEmpty) {
+      // A url filter must apply BEFORE top-k pruning to stay exact (the
+      // per-partition heaps would otherwise fill with filtered-out docs),
+      // so filtered queries take the exact declarative path. Pushing the
+      // allowed-doc set into the block merge is the scale path if filters
+      // ever dominate the workload.
+      return searchNaive(index, query, kk, conjunctive, include, exclude)
     }
+    scoredBlocks(index, query, kk, conjunctive) match {
+      case None => emptyHits(index.spark)
+      case Some(scored) => finish(index, scored, kk)
+    }
+  }
 }

@@ -83,6 +83,26 @@ class Bm25EngineSpec extends AnyFunSuite {
     assert(got == hosts)
   }
 
+  test("include/exclude glob filter restricts candidates (P5 parity)") {
+    import graft.query.PathFilter
+    val inc = Seq("https://site-00*.example/**")
+    val exc = Seq("**/page-000000??")
+    val q = PagesCorpus.vocab(0)
+    val want = {
+      // oracle: score everything, filter urls, re-rank
+      val all = oracle.search(q, 1000, conjunctive = true)
+      all.filter(h => PathFilter.matches(PagesCorpus.url(h.doc_id), inc, exc))
+        .take(10)
+    }
+    for (blocks <- Seq(false, true)) {
+      val got = (if (blocks) Bm25Query.searchBlocks(index, q, 10, true, inc, exc)
+                 else Bm25Query.searchNaive(index, q, 10, true, inc, exc))
+        .collect().toVector
+      assert(got.map(_.doc_id) == want.map(_.doc_id), s"blocks=$blocks")
+      got.zip(want).foreach { case (g, w) => assert(g.score == w.score) }
+    }
+  }
+
   test("urls and ranks are attached correctly") {
     val hits = Bm25Query.searchNaive(index, PagesCorpus.vocab(5), 10).collect()
     assert(hits.nonEmpty)

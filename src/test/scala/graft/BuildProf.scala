@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.corpus.PagesCorpus
+import graft.extract.Extract
+import graft.tokenize.Tokenizer
+import graft.index.{Bm25, PostingBlocks}
+
+/** Stage-level profile of the index build (scratch tool, not shipped). */
+object BuildProf {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = java.nio.file.Files.createTempDirectory("graft-prof").toString
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $name ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
+    }
+    val raw = PagesCorpus.pages(spark, n, parts = 64).toDF()
+    t("0 corpus gen (count only)") { raw.count() }
+    t("1 extract+safety (count)") {
+      raw.withColumn("text", Extract.extractText(col("html")))
+        .where(col("text").isNotNull && Extract.safe(col("text"))).count()
+    }
+    val pages = raw.withColumn("text", Extract.extractText(col("html")))
+      .where(col("text").isNotNull && Extract.safe(col("text")))
+      .select("doc_id", "url", "text")
+    t("2 tokenize+explode (count)") {
+      pages.select(explode(Tokenizer.tokensCol(col("text"))).as("t")).count()
+    }
+    val tf = pages.select(col("doc_id"),
+        explode(Tokenizer.tokensCol(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).cast("int").as("tf"))
+    t("3 tf agg + write") { tf.write.parquet(s"$out/tf") }
+    val tfR = spark.read.parquet(s"$out/tf")
+    t("4 docLens") { tfR.groupBy("doc_id").agg(sum("tf")).count() }
+    t("5 terms dict + write") {
+      tfR.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("term_id", xxhash64(col("term")))
+        .withColumn("idf", Bm25.idfCol(n, col("df")))
+        .write.parquet(s"$out/terms")
+    }
+    val docsR = tfR.groupBy("doc_id").agg(sum("tf").as("doc_len"))
+    val termsR = spark.read.parquet(s"$out/terms")
+    t("6 postings join+sort+write") {
+      tfR.join(docsR, Seq("doc_id"))
+        .join(termsR.select("term", "term_id", "idf"), Seq("term"))
+        .select(col("term_id"), col("doc_id"), col("tf"),
+          Bm25.impactCol(col("tf").cast("double"),
+            col("doc_len").cast("double"), 500.0, col("idf")).as("impact"))
+        .repartitionByRange(col("term_id"))
+        .sortWithinPartitions("term_id", "doc_id")
+        .write.parquet(s"$out/postings")
+    }
+    t("7 blocks agg+write") {
+      spark.read.parquet(s"$out/postings")
+        .withColumn("block_id", shiftright(col("doc_id"), 13))
+        .groupBy("term_id", "block_id")
+        .agg(PostingBlocks.blockAgg(col("doc_id"), col("tf"), col("impact")).as("blk"))
+        .select(col("term_id"), col("block_id"), col("blk.n").as("n"),
+          col("blk.docs_enc").as("d"), col("blk.tfs_enc").as("t"),
+          col("blk.impacts_enc").as("i"), col("blk.block_max").as("m"))
+        .repartitionByRange(col("term_id"), col("block_id"))
+        .sortWithinPartitions("term_id", "block_id")
+        .write.parquet(s"$out/blocks")
+    }
+    spark.stop()
+  }
+}
