@@ -9,7 +9,7 @@ NDOCS="${1:-200000}"
 N="${2:-8}"
 
 sbt -batch package >/dev/null
-JAR=$(ls target/scala-2.13/*.jar | head -1)
+JAR=$(ls target/scala-2.13/*.jar | grep -v -- -tests | head -1)
 
 run_at() { # cores nDocs outDir
   /opt/spark/bin/spark-submit \

@@ -148,7 +148,6 @@ object CheckpointedBuild {
         .select(col("term_id"), col("doc_id"), col("tf"),
           Bm25.impactCol(col("tf").cast("double"),
             col("doc_len").cast("double"), avgdl, col("idf")).as("impact"))
-        .repartitionByRange(col("term_id"))
         .sortWithinPartitions("term_id", "doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/postings")
       commit(spark, outDir, s"$outDir/postings", ManifestRow("postings", 0,
@@ -170,7 +169,6 @@ object CheckpointedBuild {
           col("blk.tfs_enc").as("tfs_enc"),
           col("blk.impacts_enc").as("impacts_enc"),
           col("blk.block_max").as("block_max"))
-        .repartitionByRange(col("term_id"), col("block_id"))
         .sortWithinPartitions("term_id", "block_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/blocks")
       commit(spark, outDir, s"$outDir/blocks", ManifestRow("blocks", 0,

@@ -91,19 +91,23 @@ object IndexBuilder {
     val tfR = spark.read.parquet(s"$outDir/tf")
 
     // A6: doc lengths; docs dimension keeps zero-token docs (doc_len=0).
+    // A5 stats ride along as Observation metrics on the same write (no
+    // extra scan). avgdl = total_tokens / num_docs (exact: integer sums
+    // below 2^53 are order-independent in double).
+    val docsObs = org.apache.spark.sql.Observation("docs_n")
     val docLens = tfR.groupBy("doc_id").agg(sum("tf").as("doc_len"))
     val docs = docsClean.select("doc_id", "url")
       .join(docLens, Seq("doc_id"), "left")
       .na.fill(0L, Seq("doc_len"))
+      .observe(docsObs, count(lit(1)).as("n"), sum("doc_len").as("tt"))
     docs.write.mode("overwrite").parquet(s"$outDir/docs")
     val docsR = spark.read.parquet(s"$outDir/docs")
 
-    // A5: corpus stats. avgdl = total_tokens / num_docs (exact: integer
-    // sums below 2^53 are order-independent in double).
-    val Row0 = docsR.agg(
-      count(lit(1)).as("num_docs"), sum("doc_len").as("total_tokens")).head()
-    val numDocs = Row0.getLong(0)
-    val totalTokens = if (Row0.isNullAt(1)) 0L else Row0.getLong(1)
+    val numDocs = docsObs.get("n").asInstanceOf[Long]
+    val totalTokens = docsObs.get("tt") match {
+      case null => 0L
+      case x => x.asInstanceOf[Long]
+    }
     val avgdl = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs.toDouble
 
     // A4/A2: term dictionary with df and idf. Row counts for the stats
@@ -129,8 +133,12 @@ object IndexBuilder {
         Bm25.impactCol(col("tf").cast("double"),
           col("doc_len").cast("double"), avgdl, col("idf")).as("impact"))
       .observe(postObs, count(lit(1)).as("n"))
+    // sort-within-partitions only: the upstream join already partitioned
+    // by term, and query pruning relies on parquet ROW-GROUP min/max
+    // stats, which within-file sorting keeps tight. (repartitionByRange
+    // would add a sampling job that RE-EXECUTES the joins; even a hash
+    // repartition is a redundant full shuffle.)
     postings
-      .repartitionByRange(col("term_id"))
       .sortWithinPartitions("term_id", "doc_id")
       .write.mode("overwrite").parquet(s"$outDir/postings")
     val postingsR = spark.read.parquet(s"$outDir/postings")
@@ -148,7 +156,6 @@ object IndexBuilder {
         col("blk.impacts_enc").as("impacts_enc"),
         col("blk.block_max").as("block_max"))
     blocks
-      .repartitionByRange(col("term_id"), col("block_id"))
       .sortWithinPartitions("term_id", "block_id")
       .write.mode("overwrite").parquet(s"$outDir/blocks")
 
