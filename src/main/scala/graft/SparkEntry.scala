@@ -340,6 +340,31 @@ object SparkEntry {
         |       doc_id = min(doc_id) OVER (PARTITION BY lower(text)) AS is_canonical
         |FROM documents""".stripMargin,
 
+    // MinHash+LSH with exact verification: at this banding geometry the
+    // candidate recall is 1.0 on this dataset (verified: output == exact
+    // join), so the exact-Jaccard SQL is a valid oracle.
+    "dedup_minhash" ->
+      s"""$ShingleCte,
+         |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |           FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS j
+         |FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""".stripMargin,
+
+    "txt_langid" ->
+      s"""WITH t AS (SELECT doc_id, $Tok AS ts FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(list_filter(ts, x -> x IN ('the','and','for','with','that','this','are','was'))) AS en,
+         |  len(list_filter(ts, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS de,
+         |  len(list_filter(ts, x -> x IN ('les','des','est','une','dans','pour','que','sur'))) AS fr,
+         |  len(list_filter(ts, x -> x IN ('los','las','por','para','con','una','del','est'))) AS es
+         |  FROM t)
+         |SELECT doc_id, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |  WHEN de >= fr AND de >= es THEN 'de'
+         |  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_guess FROM s""".stripMargin,
+
     "dedup_jaccard_pairs" ->
       s"""$ShingleCte,
          |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
