@@ -1,0 +1,43 @@
+package graft
+
+import java.io.{File, PrintStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.corpus.PagesCorpus
+import graft.index.IndexBuilder
+import graft.query.Bm25Query
+import graft.tokenize.Tokenizer
+
+/** Regenerates the raw plan dumps behind PLANS.md (plan-audit tool). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Files.createTempDirectory("graft-plans").toString
+    val idx = IndexBuilder.build(spark,
+      IndexBuilder.extractPages(PagesCorpus.pages(spark, 2000, parts = 8).toDF()), dir)
+    val out = new PrintStream(new File("/tmp/plans_raw.txt"))
+    Console.withOut(out) {
+      println("### PLAN 1: tf aggregation (tokenize -> explode -> partial+final hash agg)")
+      PagesCorpus.pages(spark, 2000, parts = 8).toDF()
+        .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf")).explain("formatted")
+      println("### PLAN 2: naive BM25 scoring (pushed term_id IN filter, canonical-order sum)")
+      Bm25Query.scoredNaive(idx,
+        s"${PagesCorpus.vocab(3)} ${PagesCorpus.vocab(7)}", conjunctive = true)
+        .get.explain("formatted")
+      println("### PLAN 3: block scan for WAND (pushed filter + whole-stage codegen)")
+      val qids = Seq(
+        graft.index.Bm25.termId(PagesCorpus.vocab(3)),
+        graft.index.Bm25.termId(PagesCorpus.vocab(7)))
+      idx.blocks.where(col("term_id").isin(qids: _*)).explain("formatted")
+    }
+    out.close()
+    spark.stop()
+    println("wrote /tmp/plans_raw.txt")
+  }
+}
