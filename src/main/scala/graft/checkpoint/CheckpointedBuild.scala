@@ -157,20 +157,11 @@ object CheckpointedBuild {
     }
     val postingsR = spark.read.parquet(s"$outDir/postings")
 
-    // ---- stage 5: compressed blocks
+    // ---- stage 5: compressed blocks (bucketed serving layout)
     if (!isCommitted(s"$outDir/blocks")) {
       val t0 = System.nanoTime()
-      postingsR
-        .withColumn("block_id", shiftright(col("doc_id"), blockBits))
-        .groupBy("term_id", "block_id")
-        .agg(PostingBlocks.blockAgg(col("doc_id"), col("tf"), col("impact")).as("blk"))
-        .select(col("term_id"), col("block_id"),
-          col("blk.n").as("n"), col("blk.docs_enc").as("docs_enc"),
-          col("blk.tfs_enc").as("tfs_enc"),
-          col("blk.impacts_enc").as("impacts_enc"),
-          col("blk.block_max").as("block_max"))
-        .sortWithinPartitions("term_id", "block_id")
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/blocks")
+      PostingBlocks.writeBlocks(postingsR, outDir,
+        spark.sessionState.conf.numShufflePartitions, blockBits)
       commit(spark, outDir, s"$outDir/blocks", ManifestRow("blocks", 0,
         spark.read.parquet(s"$outDir/blocks").count(),
         (System.nanoTime() - t0) / 1000000, "postings", System.currentTimeMillis()))

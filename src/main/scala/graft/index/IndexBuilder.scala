@@ -32,7 +32,46 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
   lazy val docs: DataFrame = spark.read.parquet(s"$path/docs")
   lazy val terms: DataFrame = spark.read.parquet(s"$path/terms")
   lazy val postings: DataFrame = spark.read.parquet(s"$path/postings")
-  lazy val blocks: DataFrame = spark.read.parquet(s"$path/blocks")
+
+  /** (num_buckets, block_bits) recorded at build time; None for a legacy
+    * (pre-bucketed) blocks layout.
+    */
+  lazy val blocksMeta: Option[(Int, Int)] =
+    try {
+      val r = spark.read.parquet(s"$path/blocks_meta").head()
+      Some((r.getInt(0), r.getInt(1)))
+    } catch { case _: Throwable => None }
+
+  /** Whether the blocks table carries the bucketed-by-block_id contract
+    * (query merge may then skip its per-query Exchange).
+    */
+  def blocksBucketed: Boolean = blocksMeta.isDefined
+
+  /** The blocks table. Bucketed layout: registered in the session catalog
+    * so the scan plans ONE TASK PER BUCKET — all (term_id, block_id)
+    * groups of a docId range complete inside a single task, no per-query
+    * shuffle. `autoBucketedScan` must stay DISABLED for this session:
+    * Spark would otherwise fall back to size-based file splitting for
+    * plans with no distribution requirement (ours is a mapPartitions
+    * merge), which can split a block group across tasks and silently drop
+    * conjunctive candidates.
+    */
+  lazy val blocks: DataFrame = blocksMeta match {
+    case Some((numBuckets, _)) =>
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val t = BuiltIndex.blocksTableName(path)
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $t (
+           |  term_id BIGINT, block_id BIGINT, n INT,
+           |  docs_enc BINARY, tfs_enc BINARY, impacts_enc BINARY,
+           |  block_max DOUBLE)
+           |USING PARQUET
+           |CLUSTERED BY (block_id) SORTED BY (term_id, block_id)
+           |INTO $numBuckets BUCKETS
+           |LOCATION '$path/blocks'""".stripMargin)
+      spark.table(t)
+    case None => spark.read.parquet(s"$path/blocks")
+  }
   lazy val stats: IndexStats = {
     import spark.implicits._
     spark.read.parquet(s"$path/stats").as[IndexStats].head()
@@ -50,6 +89,17 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
     terms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocks.count(); terms.count()
     this
+  }
+}
+
+object BuiltIndex {
+  /** Session-catalog name for the bucketed blocks table at `path` (stable
+    * across sessions so a load re-registers the same table).
+    */
+  def blocksTableName(path: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_blocks_${h.take(16)}"
   }
 }
 
@@ -72,8 +122,12 @@ object IndexBuilder {
     * tokenize+shuffle at 100 TB, no executor-memory cache dependency.
     */
   def build(spark: SparkSession, pagesDf: DataFrame, outDir: String,
-      blockBits: Int = PostingBlocks.DefaultBlockBits): BuiltIndex = {
+      blockBits: Int = PostingBlocks.DefaultBlockBits,
+      numBuckets: Int = -1): BuiltIndex = {
     import spark.implicits._
+    val buckets =
+      if (numBuckets > 0) numBuckets
+      else spark.sessionState.conf.numShufflePartitions
 
     // S5: content safety gate (content_safety_check, utils.rs:174-211)
     val docsClean = pagesDf
@@ -100,7 +154,10 @@ object IndexBuilder {
       .join(docLens, Seq("doc_id"), "left")
       .na.fill(0L, Seq("doc_len"))
       .observe(docsObs, count(lit(1)).as("n"), sum("doc_len").as("tt"))
-    docs.write.mode("overwrite").parquet(s"$outDir/docs")
+    // sorted within files so the per-query url attach (doc_id IN top-k)
+    // prunes row groups instead of scanning the whole dimension
+    docs.sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/docs")
     val docsR = spark.read.parquet(s"$outDir/docs")
 
     val numDocs = docsObs.get("n").asInstanceOf[Long]
@@ -119,8 +176,19 @@ object IndexBuilder {
       .withColumn("term_id", xxhash64(col("term")))
       .withColumn("idf", Bm25.idfCol(numDocs, col("df")))
       .observe(termsObs, count(lit(1)).as("n"))
-    terms.write.mode("overwrite").parquet(s"$outDir/terms")
+    // sorted within files: query analysis pushes In(term) into this scan,
+    // and without within-file sort there are no useful row-group stats on
+    // `term` — round 1 paid a full dictionary scan per query here.
+    terms.sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$outDir/terms")
     val termsR = spark.read.parquet(s"$outDir/terms")
+    // term_id collision guard: xxhash64 collisions at 1e9+ terms would
+    // silently merge two terms' postings; fail the build loudly instead.
+    // One extra agg over the (already small) dictionary table.
+    val collided = termsR.groupBy("term_id")
+      .agg(count(lit(1)).as("c")).where(col("c") > 1).limit(1).count()
+    require(collided == 0L,
+      "term_id (xxhash64) collision in dictionary — two terms share an id")
 
     // Posting rows with precomputed BM25 impact. Two shuffle joins, both
     // on keys the sides were just aggregated by.
@@ -145,19 +213,8 @@ object IndexBuilder {
 
     // Posting blocks: fixed docId ranges (block_id = doc_id >> blockBits)
     // act as the salt for head-term skew (see PostingBlock scaladoc).
-    val blocks = postingsR
-      .withColumn("block_id", shiftright(col("doc_id"), blockBits))
-      .groupBy("term_id", "block_id")
-      .agg(PostingBlocks.blockAgg(col("doc_id"), col("tf"), col("impact")).as("blk"))
-      .select(col("term_id"), col("block_id"),
-        col("blk.n").as("n"),
-        col("blk.docs_enc").as("docs_enc"),
-        col("blk.tfs_enc").as("tfs_enc"),
-        col("blk.impacts_enc").as("impacts_enc"),
-        col("blk.block_max").as("block_max"))
-    blocks
-      .sortWithinPartitions("term_id", "block_id")
-      .write.mode("overwrite").parquet(s"$outDir/blocks")
+    // Streaming encode + bucketed write (serving-path layout contract).
+    PostingBlocks.writeBlocks(postingsR, outDir, buckets, blockBits)
 
     val numTerms = termsObs.get("n").asInstanceOf[Long]
     val numPostings = postObs.get("n").asInstanceOf[Long]

@@ -1,84 +1,134 @@
 package graft.index
 
-import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.functions._
 
-import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
-
-/** Input posting for the block aggregator. */
-case class PostingIn(doc_id: Long, tf: Int, impact: Double)
+/** One posting row routed into the block encoder (top-level so Catalyst's
+  * generated deserializer can construct it).
+  */
+case class PostingRowIn(
+    term_id: Long, doc_id: Long, tf: Int, impact: Double, block_id: Long)
 
 /** Encoded posting block: all postings of one term whose docIds fall in one
-  * fixed docId range (block = docId >> blockBits).
+  * fixed docId range (block_id = docId >> blockBits).
   *
   * Fixed docId ranges are the skew defense (SURVEY.md §7.4 "head-term
   * skew"): a stopword with df ~ N fans out over ~N/2^blockBits independent
-  * (termId, blockId) groups, so the final merge never concentrates a hot
-  * term on one reducer — the blockId IS the salt, and salted sub-lists
-  * concatenate in docId order without re-encoding. The reference's analog
-  * merge is the single-writer RwLock section
-  * (/root/reference/src/search/engine.rs:797-831) that this shuffle design
-  * replaces.
+  * (termId, blockId) groups, so no reducer ever concentrates a hot term —
+  * the blockId IS the salt, and salted sub-lists concatenate in docId order
+  * without re-encoding. The reference's analog merge is the single-writer
+  * RwLock section (/root/reference/src/search/engine.rs:797-831) that this
+  * shuffle design replaces.
   */
 case class PostingBlock(
+    term_id: Long,
+    block_id: Long,
     n: Int,
     docs_enc: Array[Byte],
     tfs_enc: Array[Byte],
     impacts_enc: Array[Byte],
     block_max: Double)
 
-/** Typed Catalyst aggregate (the one genuinely custom Catalyst piece,
-  * SURVEY.md §7.3): (docId, tf, impact) rows -> sorted, delta+varint
-  * encoded posting block with stored block-max score (for block-max WAND
-  * pruning at query time). Partial aggregation (map-side combine) is
-  * planned automatically by Catalyst for Aggregator-based UDAFs.
-  */
-class PostingBlockAggregator
-    extends Aggregator[PostingIn, ArrayBuffer[PostingIn], PostingBlock] {
-
-  override def zero: ArrayBuffer[PostingIn] = ArrayBuffer.empty
-
-  override def reduce(b: ArrayBuffer[PostingIn], a: PostingIn): ArrayBuffer[PostingIn] = {
-    b += a; b
-  }
-
-  override def merge(b1: ArrayBuffer[PostingIn], b2: ArrayBuffer[PostingIn]): ArrayBuffer[PostingIn] = {
-    b1 ++= b2; b1
-  }
-
-  override def finish(buf: ArrayBuffer[PostingIn]): PostingBlock = {
-    val sorted = buf.sortBy(_.doc_id).toArray
-    val n = sorted.length
-    val docIds = new Array[Long](n)
-    val tfs = new Array[Int](n)
-    val impacts = new Array[Double](n)
-    var blockMax = Double.NegativeInfinity
-    var i = 0
-    while (i < n) {
-      docIds(i) = sorted(i).doc_id
-      tfs(i) = sorted(i).tf
-      impacts(i) = sorted(i).impact
-      if (impacts(i) > blockMax) blockMax = impacts(i)
-      i += 1
-    }
-    PostingBlock(
-      n = n,
-      docs_enc = PostingCodec.encodeDocIds(docIds),
-      tfs_enc = PostingCodec.encodeTfs(tfs),
-      impacts_enc = PostingCodec.encodeImpacts(impacts),
-      block_max = if (n == 0) 0.0 else blockMax)
-  }
-
-  override def bufferEncoder: Encoder[ArrayBuffer[PostingIn]] =
-    Encoders.kryo[ArrayBuffer[PostingIn]]
-  override def outputEncoder: Encoder[PostingBlock] = Encoders.product[PostingBlock]
-}
-
 object PostingBlocks {
   /** Default block width: 8192 docIds per block. */
   val DefaultBlockBits = 13
 
-  /** Column-callable UDAF: `blockAgg($"doc_id", $"tf", $"impact")`. */
-  val blockAgg = udaf(new PostingBlockAggregator, Encoders.product[PostingIn])
+  /** Posting rows -> encoded blocks.
+    *
+    * Shuffle-once streaming design: hash-repartition on the exact group key
+    * (term_id, block_id) — Tungsten UnsafeRow shuffle, no object
+    * serialization — then a spillable local radix sort and a streaming
+    * mapPartitions encode whose live state is ONE group's arrays (bounded
+    * by 2^blockBits docIds). This replaced a kryo-buffered Aggregator
+    * (round 1's GC-bound worst-scaling stage: ObjectHashAggregate
+    * deserialized/merged ArrayBuffer buffers through kryo on every spill
+    * and shuffle read).
+    */
+  def encode(postings: DataFrame,
+      blockBits: Int = DefaultBlockBits): Dataset[PostingBlock] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    postings
+      .withColumn("block_id", shiftright(col("doc_id"), blockBits))
+      .repartition(col("term_id"), col("block_id"))
+      .sortWithinPartitions("term_id", "block_id", "doc_id")
+      .select(col("term_id"), col("doc_id"), col("tf").cast("int").as("tf"),
+        col("impact"), col("block_id"))
+      .as[PostingRowIn]
+      .mapPartitions(encodePartition _)
+  }
+
+  /** Streaming group encoder over rows sorted by (term_id, block_id,
+    * doc_id). Strictly-increasing doc_ids within a group are enforced by
+    * the codec — a violation means a term_id hash collision merged two
+    * terms' postings, and the build fails loudly.
+    */
+  private[index] def encodePartition(
+      it: Iterator[PostingRowIn]): Iterator[PostingBlock] =
+    new Iterator[PostingBlock] {
+      private var pending: PostingRowIn = if (it.hasNext) it.next() else null
+      def hasNext: Boolean = pending != null
+      def next(): PostingBlock = {
+        val term = pending.term_id
+        val block = pending.block_id
+        var cap = 64
+        var docs = new Array[Long](cap)
+        var tfs = new Array[Int](cap)
+        var imps = new Array[Double](cap)
+        var n = 0
+        var blockMax = Double.NegativeInfinity
+        var r = pending
+        while (r != null && r.term_id == term && r.block_id == block) {
+          if (n == cap) {
+            cap *= 2
+            docs = java.util.Arrays.copyOf(docs, cap)
+            tfs = java.util.Arrays.copyOf(tfs, cap)
+            imps = java.util.Arrays.copyOf(imps, cap)
+          }
+          docs(n) = r.doc_id; tfs(n) = r.tf; imps(n) = r.impact
+          if (r.impact > blockMax) blockMax = r.impact
+          n += 1
+          r = if (it.hasNext) it.next() else null
+        }
+        pending = r
+        PostingBlock(term, block, n,
+          PostingCodec.encodeDocIds(java.util.Arrays.copyOf(docs, n)),
+          PostingCodec.encodeTfs(java.util.Arrays.copyOf(tfs, n)),
+          PostingCodec.encodeImpacts(java.util.Arrays.copyOf(imps, n)),
+          blockMax)
+      }
+    }
+
+  /** Write encoded blocks as a BUCKETED table (bucketBy block_id, files
+    * sorted by (term_id, block_id)) registered in the session catalog with
+    * the data under `$outDir/blocks`.
+    *
+    * The bucketing is the serving-path contract: a query reads the blocks
+    * of its terms (pushed In(term_id) filter; file sort keeps row-group
+    * stats tight) with ONE TASK PER BUCKET, so every (term_id, block_id)
+    * group of one docId range is complete inside a single task and the
+    * WAND merge runs with zero per-query Exchange — round 1 shipped a
+    * `repartition(block_id)` shuffle on every query, which at head-term
+    * scale moves the posting lists of the most common words in the corpus.
+    *
+    * A bucket may hold multiple files (one per encode task that produced
+    * rows for it); correctness only needs bucket-level co-location because
+    * the query side re-sorts locally by (block_id, term_id).
+    */
+  def writeBlocks(postings: DataFrame, outDir: String, numBuckets: Int,
+      blockBits: Int = DefaultBlockBits): Unit = {
+    val spark = postings.sparkSession
+    val table = BuiltIndex.blocksTableName(outDir)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    encode(postings, blockBits)
+      .write.format("parquet")
+      .bucketBy(numBuckets, "block_id")
+      .sortBy("term_id", "block_id")
+      .option("path", s"$outDir/blocks")
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(table)
+    import spark.implicits._
+    Seq((numBuckets, blockBits)).toDF("num_buckets", "block_bits")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/blocks_meta")
+  }
 }

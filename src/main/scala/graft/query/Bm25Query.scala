@@ -157,11 +157,17 @@ object Bm25Query {
       .where(col("term_id").isin(qids: _*))
       .select("term_id", "block_id", "n", "docs_enc", "impacts_enc", "block_max")
       .as[BlockRow]
-    // Co-locate all terms' blocks of one docId range, then merge them with
-    // partition-local block-max thresholds (conservative => exact top-k:
-    // the global top-k is a subset of the union of local top-k sets).
-    val candidates = rows
-      .repartition(col("block_id"))
+    // All terms' blocks of one docId range must be in one task, then the
+    // merge applies partition-local block-max thresholds (conservative =>
+    // exact top-k: the global top-k is a subset of the union of local
+    // top-k sets). With a bucketed index the scan itself delivers that
+    // co-location (one task per block_id bucket — zero Exchange, only a
+    // local sort of the pruned rows); a legacy layout pays a per-query
+    // repartition shuffle.
+    val coLocated =
+      if (index.blocksBucketed) rows
+      else rows.repartition(col("block_id"))
+    val candidates = coLocated
       .sortWithinPartitions(col("block_id"), col("term_id"))
       .mapPartitions { it =>
         processPartition(it, nTerms, kk, conjunctive)

@@ -56,17 +56,8 @@ object BuildProf {
         .sortWithinPartitions("term_id", "doc_id")
         .write.parquet(s"$out/postings")
     }
-    t("7 blocks agg+write") {
-      spark.read.parquet(s"$out/postings")
-        .withColumn("block_id", shiftright(col("doc_id"), 13))
-        .groupBy("term_id", "block_id")
-        .agg(PostingBlocks.blockAgg(col("doc_id"), col("tf"), col("impact")).as("blk"))
-        .select(col("term_id"), col("block_id"), col("blk.n").as("n"),
-          col("blk.docs_enc").as("d"), col("blk.tfs_enc").as("t"),
-          col("blk.impacts_enc").as("i"), col("blk.block_max").as("m"))
-        .repartitionByRange(col("term_id"), col("block_id"))
-        .sortWithinPartitions("term_id", "block_id")
-        .write.parquet(s"$out/blocks")
+    t("7 blocks encode+bucketed write") {
+      PostingBlocks.writeBlocks(spark.read.parquet(s"$out/postings"), out, 64)
     }
     spark.stop()
   }

@@ -35,6 +35,13 @@ object PlanDump {
         graft.index.Bm25.termId(PagesCorpus.vocab(3)),
         graft.index.Bm25.termId(PagesCorpus.vocab(7)))
       idx.blocks.where(col("term_id").isin(qids: _*)).explain("formatted")
+      println("### PLAN 4: FULL block-WAND query (bucketed scan -> local sort -> merge; zero Exchange)")
+      Bm25Query.scoredBlocks(idx,
+        s"${PagesCorpus.vocab(3)} ${PagesCorpus.vocab(7)}", 10, conjunctive = true)
+        .get.explain("formatted")
+      println("### PLAN 5: terms dictionary lookup (pushed In(term), sorted row groups)")
+      idx.terms.where(col("term").isin(PagesCorpus.vocab(3), PagesCorpus.vocab(7)))
+        .explain("formatted")
     }
     out.close()
     spark.stop()
