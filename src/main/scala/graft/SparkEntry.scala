@@ -282,9 +282,43 @@ object SparkEntry {
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // Full replication of Extract.contentSafetyCheck (utils.rs:174-211):
+    // (1) binary gate — NUL or >10% control chars in the first 8KB (char
+    //     window stands in for the byte window: exact on ASCII text, and
+    //     line/nesting checks below are byte-exact regardless);
+    // (2) no line over 100000 BYTES (strlen = bytes in DuckDB);
+    // (3) bracket nesting depth (clamped at 0) <= 500, via the reflected-
+    //     walk identity depth_i = S_i - min(0, min_{j<=i} S_j).
     "s5_safety_filter" ->
-      """SELECT doc_id FROM documents
-        |WHERE NOT contains(text, chr(0)) AND length(text) <= 100000""".stripMargin,
+      """WITH sub AS (SELECT doc_id, substr(text, 1, 8192) AS s8 FROM documents),
+        |bin AS (SELECT doc_id,
+        |          contains(s8, chr(0)) AS has_nul, length(s8) AS clen,
+        |          length(s8) - length(regexp_replace(s8,
+        |            '[\x01-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctl
+        |        FROM sub),
+        |lns AS (SELECT doc_id,
+        |          len(list_filter(string_split(text, chr(10)),
+        |              l -> strlen(l) > 100000)) AS nlong
+        |        FROM documents),
+        |br AS (SELECT doc_id,
+        |         regexp_replace(text, '[^{}()\[\]]', '', 'g') AS bs
+        |       FROM documents),
+        |steps AS (SELECT doc_id, unnest(range(1, len(bs) + 1)) AS i, bs FROM br),
+        |walk AS (SELECT doc_id, i,
+        |           sum(CASE WHEN bs[i] IN ('{', '(', '[') THEN 1 ELSE -1 END)
+        |             OVER (PARTITION BY doc_id ORDER BY i) AS s
+        |         FROM steps),
+        |dep AS (SELECT doc_id, max(s - least(0, mn)) AS maxd FROM (
+        |          SELECT doc_id, s,
+        |                 min(s) OVER (PARTITION BY doc_id ORDER BY i
+        |                   ROWS UNBOUNDED PRECEDING) AS mn
+        |          FROM walk) GROUP BY doc_id)
+        |SELECT d.doc_id FROM documents d
+        |LEFT JOIN bin USING (doc_id)
+        |LEFT JOIN lns USING (doc_id)
+        |LEFT JOIN dep USING (doc_id)
+        |WHERE NOT (bin.has_nul OR (bin.clen > 0 AND bin.ctl > bin.clen // 10))
+        |  AND lns.nlong = 0 AND coalesce(dep.maxd, 0) <= 500""".stripMargin,
 
     "a1_postings" ->
       s"$TfCte SELECT term, doc_id, tf FROM tf",

@@ -27,6 +27,10 @@ object PathFilter {
     var i = 0
     val n = glob.length
     var inClass = false
+    // ',' and '}' are alternation syntax ONLY inside an open '{...}'
+    // group; a literal comma in a path segment ('**/a,b/*') or an
+    // unmatched '}' must match itself, not corrupt the regex
+    var braceDepth = 0
     while (i < n) {
       val c = glob.charAt(i)
       if (inClass) {
@@ -43,11 +47,11 @@ object PathFilter {
             else { sb.append(".*"); i += 2 }
           } else { sb.append("[^/]*"); i += 1 }
         case '?' => sb.append("[^/]"); i += 1
-        case '{' => sb.append("(?:"); i += 1
-        case ',' => sb.append('|'); i += 1
-        case '}' => sb.append(')'); i += 1
+        case '{' => sb.append("(?:"); braceDepth += 1; i += 1
+        case ',' if braceDepth > 0 => sb.append('|'); i += 1
+        case '}' if braceDepth > 0 => sb.append(')'); braceDepth -= 1; i += 1
         case '[' => sb.append('['); inClass = true; i += 1
-        case ch if "\\.^$+()|".indexOf(ch) >= 0 => sb.append('\\').append(ch); i += 1
+        case ch if "\\.^$+()|,}".indexOf(ch) >= 0 => sb.append('\\').append(ch); i += 1
         case ch => sb.append(ch); i += 1
       }
     }

@@ -29,6 +29,13 @@ object Tokenizer {
     * letter-categories | Nd | Nl | No. Differences are confined to exotic
     * `Other_Alphabetic` marks that never appear in web text.
     */
+  /** Public twin of the tokenizer's character class, for analyses that
+    * must classify characters EXACTLY like the indexer (e.g. regex literal
+    * extraction — an ASCII-only predicate there would call 'é' a token
+    * separator and build unsound prefilters on non-ASCII corpora).
+    */
+  def isAlnumCodePoint(cp: Int): Boolean = isAlnum(cp)
+
   @inline private def isAlnum(cp: Int): Boolean = {
     val t = Character.getType(cp)
     Character.isLetter(cp) ||

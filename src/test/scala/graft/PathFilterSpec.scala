@@ -37,6 +37,16 @@ class PathFilterSpec extends AnyFunSuite {
     assert(!m("f.rs", Seq("*.{js,ts}")))
     assert(m("a/f1.rs", Seq("f?.rs")))
     assert(!m("a/f12.rs", Seq("f?.rs")))
+    // ',' and '}' outside a '{...}' group are literal path chars, not
+    // alternation syntax (a bare comma must not split the pattern)
+    assert(m("x/a,b/f.rs", Seq("a,b/*")))
+    assert(!m("x/a/f.rs", Seq("a,b/*")))
+    assert(!m("x/b/f.rs", Seq("a,b/*")))
+    assert(m("x/w}v/f.rs", Seq("w}v/*")))
+    assert(!m("x/wv/f.rs", Seq("w}v/*")))
+    // nested groups still alternate correctly
+    assert(m("f.tsx", Seq("*.{js,{ts,tsx}}")))
+    assert(!m("f.rsx", Seq("*.{js,{ts,tsx}}")))
   }
 
   test("exclude wins over include") {

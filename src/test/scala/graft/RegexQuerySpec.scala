@@ -9,65 +9,105 @@ import graft.corpus.PagesCorpus
 import graft.extract.Extract
 import graft.index.IndexBuilder
 import graft.query.RegexQuery
+import graft.query.RegexQuery.Lit
 
 class RegexQuerySpec extends AnyFunSuite {
 
-  test("requiredTokens: sound literal extraction") {
-    // interior + \s-bounded tokens are complete
-    assert(RegexQuery.requiredTokens("data\\s+join") == Seq("data", "join"))
-    assert(RegexQuery.requiredTokens("data join merge") ==
+  test("requiredLiterals: sound boundary analysis") {
+    // pattern start/end are NOT boundaries (unanchored regex can match
+    // mid-token): 'data\s+join' matches inside 'bigdata join'
+    assert(RegexQuery.requiredLiterals("data\\s+join") ==
+      Seq(Lit("data", false, true), Lit("join", true, false)))
+    assert(RegexQuery.requiredTokens("data\\s+join") == Seq())
+    // interior tokens are complete; edges stay open
+    assert(RegexQuery.requiredTokens("data join merge") == Seq("join"))
+    // anchors pin the edges
+    assert(RegexQuery.requiredTokens("^data join merge$") ==
       Seq("data", "join", "merge"))
-    // quantifier makes the char optional and right boundary unknown:
-    // "spark?" could match "spar" + more word chars -> no complete token
-    assert(RegexQuery.requiredTokens("sparks?") == Seq())
-    // "spark+ x" -> spark+ matches sparkk... not complete; prefix "spar"
-    // has unknown right boundary -> dropped
-    assert(RegexQuery.requiredTokens("spark+") == Seq())
-    // dot breaks completeness on that side only
-    assert(RegexQuery.requiredTokens("data.join") == Seq())
-    assert(RegexQuery.requiredTokens("data .join ") == Seq("data"))
+    // quantifier makes the char optional and right boundary unknown
+    assert(RegexQuery.requiredLiterals("sparks?") ==
+      Seq(Lit("spark", false, false)))
+    assert(RegexQuery.requiredLiterals("spark+") ==
+      Seq(Lit("spark", false, false)))
+    // dot breaks completeness on that side
+    assert(RegexQuery.requiredLiterals("data.join") ==
+      Seq(Lit("data", false, false), Lit("join", false, false)))
+    assert(RegexQuery.requiredLiterals("data .join ") ==
+      Seq(Lit("data", false, true), Lit("join", false, true)))
     // classes/groups/alternation -> conservative full scan
-    assert(RegexQuery.requiredTokens("da(ta|sh)") == Seq())
-    assert(RegexQuery.requiredTokens("[dm]ata") == Seq())
-    assert(RegexQuery.requiredTokens("a|b") == Seq())
+    assert(RegexQuery.requiredLiterals("da(ta|sh)") == Seq())
+    assert(RegexQuery.requiredLiterals("[dm]ata") == Seq())
+    assert(RegexQuery.requiredLiterals("a|b") == Seq())
     // short tokens dropped (index has no len<=2 terms)
-    assert(RegexQuery.requiredTokens("ab cd efgh") == Seq("efgh"))
-    // \w extends words -> unknown boundary
-    assert(RegexQuery.requiredTokens("\\wdata") == Seq())
-    assert(RegexQuery.requiredTokens("\\bdata\\b") == Seq("data"))
+    assert(RegexQuery.requiredLiterals("ab cd efgh") ==
+      Seq(Lit("efgh", true, false)))
+    // \w extends words; \b is ASCII-unsound vs the Unicode tokenizer
+    assert(RegexQuery.requiredLiterals("\\wdata") ==
+      Seq(Lit("data", false, false)))
+    assert(RegexQuery.requiredLiterals("\\bdata\\b") ==
+      Seq(Lit("data", false, false)))
+    // non-ASCII letters classify like the tokenizer: 'éspark' is ONE
+    // potential token, so 'spark' must NOT become a left-bounded literal
+    assert(RegexQuery.requiredLiterals("éspark ") ==
+      Seq(Lit("éspark", false, true)))
+    // case-insensitivity: literals lowercased, metachars untouched
+    assert(RegexQuery.requiredLiterals(" SPARK ") ==
+      Seq(Lit("spark", true, true)))
   }
 
-  test("regex search: accelerated path == full-scan path == ground truth") {
+  test("regex search: accelerated paths == ground truth (incl. mid-token match)") {
     val spark = TestSpark.spark
+    import spark.implicits._
     val dir = Files.createTempDirectory("graft-rx").toString
     val raw = PagesCorpus.pages(spark, 300, parts = 4).toDF()
-    val pages = IndexBuilder.extractPages(raw)
+    val base = IndexBuilder.extractPages(raw)
       .where(Extract.safe(col("text")))
+    // adversarial rows: a mid-token-prefix match ('bigdata join ...') that
+    // an unsound prefilter would drop, plus an exact-token control row
+    val extra = Seq(
+      (900000L, "https://x/midtok", "bigdata join rendezvous once more"),
+      (900001L, "https://x/exact", "data join rendezvous once more"),
+      (900002L, "https://x/upper", "DATA JOIN rendezvous once more"))
+      .toDF("doc_id", "url", "text")
+    val pages = base.unionByName(extra)
     val idx = IndexBuilder.build(spark, pages, dir, blockBits = 6)
 
+    def groundTruth(pattern: String): Set[Long] = {
+      val rx = ("(?is)" + pattern).r
+      pages.select("doc_id", "text").collect()
+        .filter(r => rx.findFirstIn(r.getString(1)).isDefined)
+        .map(_.getLong(0)).toSet
+    }
+    def run(pattern: String): Set[Long] =
+      RegexQuery.search(idx, pages, pattern, 1000).collect().map(_.doc_id).toSet
+
+    // partial-literal accelerated path; must include the mid-token doc
+    val p1 = "data\\s+join"
+    val got1 = run(p1); val want1 = groundTruth(p1)
+    assert(got1 == want1)
+    assert(Set(900000L, 900001L, 900002L).subsetOf(got1),
+      "mid-token + case-folded matches must survive the prefilter")
+
+    // fully-bounded accelerated path (literal spaces pin both edges ->
+    // conjunctive BM25 prefilter over complete tokens)
     val w1 = PagesCorpus.vocab(5); val w2 = PagesCorpus.vocab(12)
-    val pattern = s"$w1\\s+$w2" // accelerated: both tokens required
-    assert(RegexQuery.requiredTokens(pattern) == Seq(w1, w2))
+    val p2 = s" $w1 $w2 "
+    assert(RegexQuery.requiredTokens(p2) == Seq(w1, w2))
+    assert(got1.nonEmpty && want1.nonEmpty)
+    assert(run(p2) == groundTruth(p2))
+    assert(groundTruth(p2).nonEmpty, "fixture should produce matches")
 
-    val got = RegexQuery.search(idx, pages, pattern, 1000)
-      .collect().map(_.doc_id).toSet
-    // ground truth: java regex over the oracle corpus
-    val rx = ("(?s)" + pattern).r
-    val want = pages.select("doc_id", "text").collect()
-      .filter(r => rx.findFirstIn(r.getString(1).toLowerCase).isDefined)
-      .map(_.getLong(0)).toSet
-    assert(got == want)
-    assert(want.nonEmpty, "fixture should produce at least one match")
+    // infix-literal path (dot on both sides of each token)
+    val p3 = s"$w1.$w2"
+    assert(run(p3) == groundTruth(p3))
 
-    // full-scan fallback (no usable literal) must agree with ground truth
-    val pat2 = s"$w1.$w2" // dot kills completeness -> full scan
-    assert(RegexQuery.requiredTokens(pat2).isEmpty)
-    val got2 = RegexQuery.search(idx, pages, pat2, 1000)
-      .collect().map(_.doc_id).toSet
-    val rx2 = ("(?s)" + pat2).r
-    val want2 = pages.select("doc_id", "text").collect()
-      .filter(r => rx2.findFirstIn(r.getString(1).toLowerCase).isDefined)
-      .map(_.getLong(0)).toSet
-    assert(got2 == want2)
+    // no-literal full scan
+    val p4 = "ba.ch"
+    assert(run(p4) == groundTruth(p4))
+
+    // case-insensitive metacharacters stay intact: \W must not become \w
+    val p5 = "rendezvous\\Wonce"
+    assert(run(p5) == groundTruth(p5))
+    assert(groundTruth(p5).nonEmpty)
   }
 }
