@@ -36,7 +36,11 @@ object SearchCli {
       val t0 = System.nanoTime()
       val raw = PagesCorpus.pages(spark, nDocs.toLong)
       val extracted = IndexBuilder.extractPages(raw.toDF())
-      val idx = IndexBuilder.build(spark, extracted, dir)
+      // persist extracted pages beside the index: the `lines` mode
+      // late-materializes content from here (the index stores no raw text)
+      extracted.write.mode("overwrite").parquet(s"$dir/pages")
+      val idx = IndexBuilder.build(spark,
+        spark.read.parquet(s"$dir/pages"), dir)
       val secs = (System.nanoTime() - t0) / 1e9
       val s = idx.stats
       println(f"[build] docs=${s.num_docs} terms=${s.num_terms} " +
@@ -51,9 +55,27 @@ object SearchCli {
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"[query] q='$q' mode=$mode k=$k hits=${hits.length} wall=${ms}%.0fms")
       hits.foreach(h => println(f"  ${h.rank}%3d ${h.score}%10.4f ${h.doc_id}%8d ${h.url}"))
+    // line-level results (reference result record: path, line, span,
+    // snippet — proto/search.proto:19-28); needs the pages parquet for
+    // late content materialization
+    case "lines" :: dir :: pagesDir :: k :: mode :: rest if rest.nonEmpty =>
+      val idx = IndexBuilder.load(spark, dir).cacheHot()
+      val pages = spark.read.parquet(pagesDir)
+        .select("doc_id", "url", "text")
+      val q = rest.mkString(" ")
+      val t0 = System.nanoTime()
+      val rows = Bm25Query.searchWithLines(idx, pages, q, k.toInt, mode != "or")
+        .collect().sortBy(r => (r.rank, r.line_number))
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[lines] q='$q' mode=$mode k=$k rows=${rows.length} wall=${ms}%.0fms")
+      rows.foreach(r => println(
+        f"  ${r.rank}%3d ${r.score}%10.4f ${r.doc_id}%8d:${r.line_number}%-4d " +
+        f"[${r.match_start},${r.match_end}) ${r.snippet.take(70)}"))
     case other =>
       System.err.println(s"unknown args: ${other.mkString(" ")}")
-      System.err.println("usage: build <nDocs> <indexDir> | query <indexDir> <k> <and|or> <terms...>")
+      System.err.println(
+        "usage: build <nDocs> <indexDir> | query <indexDir> <k> <and|or> <terms...>" +
+        " | lines <indexDir> <pagesParquet> <k> <and|or> <terms...>")
       sys.exit(2)
   }
 }

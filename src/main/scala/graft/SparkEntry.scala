@@ -7,10 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.deps.Deps
 import graft.extract.Extract
 import graft.index.{BuiltIndex, IndexBuilder}
 import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 import graft.query.Bm25Query
+import graft.symbols.Symbols
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2 ids in the names), with DuckDB-equivalent `oracleSql`
@@ -48,6 +50,19 @@ object SparkEntry {
       if (blocks) Bm25Query.searchBlocks(indexFor(s, dir), q, k, conjunctive)
       else Bm25Query.searchNaive(indexFor(s, dir), q, k, conjunctive)
     hits.toDF().select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Synthetic edges for the dependency-graph gates: every doc "links to"
+    * its source-group hub (the group's min doc_id) — an import-resolution
+    * join against a small broadcast target dictionary (J2 shape).
+    */
+  private def gateEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val imports = d.select(
+      col("doc_id").as("from_doc"), col("source").as("import_key"))
+    val targets = d.groupBy(col("source").as("import_key"))
+      .agg(min("doc_id").as("to_doc"))
+    Deps.resolveEdges(imports, targets)
   }
 
   /** Flagship query on sf=0.001: BM25 conjunctive top-10. */
@@ -217,6 +232,46 @@ object SparkEntry {
     // --- A3: in-degree style count (groupBy-count shape) ---
     "a3_indegree" -> ((s, dir) =>
       documents(s, dir).groupBy("source").agg(count(lit(1)).as("n_docs"))),
+
+    // --- dependency graph: J2 resolution join, A3 in-degree over real
+    //     edges, J4 adjacency lookup, A4 static rank feeding a K3 boost ---
+    "j2_resolve" -> ((s, dir) => gateEdges(s, dir)),
+
+    "a3_edges_indegree" -> ((s, dir) => Deps.inDegree(gateEdges(s, dir))),
+
+    "j4_dependents" -> ((s, dir) => {
+      val d = documents(s, dir)
+      val src0 = d.where(col("doc_id") === 0).select("source").head().getString(0)
+      val hub = d.where(col("source") === src0)
+        .agg(min("doc_id")).head().getLong(0)
+      Deps.dependents(gateEdges(s, dir), hub)
+    }),
+
+    "k3_boosted_topk" -> ((s, dir) =>
+      Bm25Query.searchBoosted(indexFor(s, dir), "data join", 10,
+        Deps.staticRank(gateEdges(s, dir))).toDF()
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+
+    // --- P4: short-query fallback (all docs are candidates) ---
+    "p4_short_query" -> ((s, dir) =>
+      Bm25Query.searchBlocks(indexFor(s, dir), "ab", 10).toDF()
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+
+    // --- P7/P8/W1 composed: per-match line records on the final top-k ---
+    "p7_line_matches" -> ((s, dir) =>
+      Bm25Query.searchWithLines(indexFor(s, dir), documents(s, dir),
+        "vector stream", 10, conjunctive = false).toDF()
+        .select(col("doc_id"), col("rank"), col("line_number"),
+          col("match_start"), col("match_end"), col("snippet"),
+          round(col("score"), 4).as("score"))),
+
+    // --- symbols mode: extraction + symbols-only search ---
+    "sym_extract" -> ((s, dir) => Symbols.extract(documents(s, dir))),
+
+    "sym_search" -> ((s, dir) =>
+      Symbols.search(Symbols.extract(documents(s, dir)), "vector", 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("n_matches"), col("first_line"))),
 
     // --- U2: set difference (staleness-triage shape) ---
     "u2_except" -> ((s, dir) =>
@@ -457,6 +512,115 @@ object SparkEntry {
 
     "a3_indegree" ->
       "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
+
+    "j2_resolve" ->
+      """WITH tgt AS (SELECT source, min(doc_id) AS to_doc FROM documents GROUP BY 1)
+        |SELECT d.doc_id AS from_doc, tgt.to_doc AS to_doc
+        |FROM documents d JOIN tgt USING (source) WHERE d.doc_id <> tgt.to_doc""".stripMargin,
+
+    "a3_edges_indegree" ->
+      """WITH tgt AS (SELECT source, min(doc_id) AS to_doc FROM documents GROUP BY 1)
+        |SELECT tgt.to_doc AS doc_id, count(*) AS in_degree
+        |FROM documents d JOIN tgt USING (source) WHERE d.doc_id <> tgt.to_doc
+        |GROUP BY tgt.to_doc""".stripMargin,
+
+    "j4_dependents" ->
+      """WITH s0 AS (SELECT source FROM documents WHERE doc_id = 0),
+        |hub AS (SELECT min(doc_id) AS h FROM documents
+        |        WHERE source = (SELECT source FROM s0))
+        |SELECT doc_id AS from_doc FROM documents
+        |WHERE source = (SELECT source FROM s0)
+        |  AND doc_id <> (SELECT h FROM hub)""".stripMargin,
+
+    "k3_boosted_topk" ->
+      s"""$TfCte,
+         |dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |q AS (SELECT unnest(['data', 'join']) AS term),
+         |sc AS (SELECT tf.doc_id,
+         |              ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) *
+         |              ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doc_len / st.avgdl)))) AS s
+         |       FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), st),
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY 1 HAVING count(*) = 2),
+         |tgt AS (SELECT source, min(doc_id) AS hub FROM documents GROUP BY 1),
+         |ind AS (SELECT tgt.hub AS doc_id, count(*) AS n
+         |        FROM documents d JOIN tgt ON d.source = tgt.source AND d.doc_id <> tgt.hub
+         |        GROUP BY tgt.hub),
+         |rnk AS (SELECT doc_id, 1.0 + log10(n) * 0.5 AS sr FROM ind)
+         |SELECT agg.doc_id AS doc_id,
+         |       round(agg.score * coalesce(rnk.sr, 1.0), 4) AS score
+         |FROM agg LEFT JOIN rnk USING (doc_id)
+         |ORDER BY agg.score * coalesce(rnk.sr, 1.0) DESC, agg.doc_id ASC
+         |LIMIT 10""".stripMargin,
+
+    "p4_short_query" ->
+      """SELECT doc_id, CAST(0.0 AS DOUBLE) AS score FROM documents
+        |ORDER BY doc_id ASC LIMIT 10""".stripMargin,
+
+    "p7_line_matches" ->
+      s"""$TfCte,
+         |dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |q AS (SELECT unnest(['vector', 'stream']) AS term),
+         |sc AS (SELECT tf.doc_id,
+         |              ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) *
+         |              ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doc_len / st.avgdl)))) AS s
+         |       FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), st),
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY 1),
+         |tk AS (SELECT doc_id, score,
+         |              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |       FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10),
+         |l AS (SELECT tk.doc_id, tk.rank, tk.score,
+         |             unnest(string_split(d.text, chr(10))) AS line,
+         |             unnest(range(1, len(string_split(d.text, chr(10))) + 1)) AS ln
+         |      FROM tk JOIN documents d USING (doc_id)),
+         |m AS (SELECT doc_id, rank, score, ln, line,
+         |             least(coalesce(nullif(strpos(lower(line), 'vector'), 0), 999999999),
+         |                   coalesce(nullif(strpos(lower(line), 'stream'), 0), 999999999)) AS p
+         |      FROM l),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ln) AS rn
+         |      FROM m WHERE p < 999999999)
+         |SELECT doc_id, rank, ln AS line_number, p AS match_start,
+         |       p + 6 AS match_end,
+         |       substr(line, greatest(1, p - 200), 400) AS snippet,
+         |       round(score, 4) AS score
+         |FROM f WHERE rn <= 100""".stripMargin,
+
+    "sym_extract" ->
+      """WITH l AS (SELECT doc_id,
+        |             unnest(string_split(text, chr(10))) AS line,
+        |             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ln
+        |           FROM documents),
+        |sy AS (SELECT doc_id, ln AS line,
+        |         list_filter(regexp_split_to_array(lower(line), '[^a-z0-9]+'),
+        |                     x -> length(x) > 2)[1] AS name
+        |       FROM l)
+        |SELECT doc_id, name,
+        |       CASE WHEN line % 3 = 1 THEN 'def'
+        |            WHEN line % 3 = 2 THEN 'ref' ELSE 'use' END AS kind,
+        |       line
+        |FROM sy WHERE name IS NOT NULL""".stripMargin,
+
+    "sym_search" ->
+      """WITH l AS (SELECT doc_id,
+        |             unnest(string_split(text, chr(10))) AS line,
+        |             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ln
+        |           FROM documents),
+        |sy AS (SELECT doc_id, ln AS line,
+        |         list_filter(regexp_split_to_array(lower(line), '[^a-z0-9]+'),
+        |                     x -> length(x) > 2)[1] AS name
+        |       FROM l),
+        |mt AS (SELECT doc_id, line,
+        |         CASE WHEN name = 'vector' THEN 2.0 ELSE 1.0 END AS w
+        |       FROM sy WHERE name IS NOT NULL AND contains(name, 'vector'))
+        |SELECT doc_id, round(CAST(sum(w) AS DOUBLE), 4) AS score,
+        |       count(*) AS n_matches, min(line) AS first_line
+        |FROM mt GROUP BY doc_id
+        |ORDER BY sum(w) DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "p3_regex_accel" ->
       """SELECT doc_id FROM documents

@@ -47,7 +47,14 @@ object Bm25Oracle {
     def search(query: String, k: Int,
         conjunctive: Boolean = true): Vector[OracleHit] = {
       val qTokens = Tokenizer.tokenize(query).distinct
-      if (qTokens.isEmpty) return Vector.empty
+      if (qTokens.isEmpty) {
+        // P4 short-query fallback: every doc is a candidate, score 0.0 in
+        // doc_id order (reference engine.rs:1242-1246 all_documents())
+        if (query != null && query.trim.nonEmpty)
+          return tf.keysIterator.toVector.sorted
+            .take(math.max(1, math.min(k, 1000))).map(OracleHit(_, 0.0))
+        return Vector.empty
+      }
       val resolved = qTokens.filter(df.contains)
       if (conjunctive && resolved.size != qTokens.size) return Vector.empty
       if (resolved.isEmpty) return Vector.empty

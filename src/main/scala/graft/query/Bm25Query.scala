@@ -14,6 +14,14 @@ case class QueryTerm(term: String, term_id: Long, df: Long, idf: Double)
 /** A scored hit. */
 case class Hit(doc_id: Long, url: String, score: Double, rank: Int)
 
+/** A line-level match inside a top-k hit — the reference's result record
+  * shape (file_path, line_number, match_start, match_end, snippet;
+  * /root/reference/proto/search.proto:19-28).
+  */
+case class LineHit(
+    doc_id: Long, url: String, score: Double, rank: Int,
+    line_number: Int, match_start: Int, match_end: Int, snippet: String)
+
 /** One compressed posting block row as read at query time (top-level so
   * Catalyst's generated deserializer can construct it).
   */
@@ -128,13 +136,116 @@ object Bm25Query {
   def searchNaive(index: BuiltIndex, query: String, k: Int,
       conjunctive: Boolean = true,
       include: Seq[String] = Nil, exclude: Seq[String] = Nil): Dataset[Hit] =
-    scoredNaive(index, query, conjunctive) match {
+    if (isShortQuery(query))
+      allDocsFallback(index, clampK(k), include, exclude)
+    else scoredNaive(index, query, conjunctive) match {
       case None => emptyHits(index.spark)
       case Some(scored) =>
         finish(index, restrict(index, scored, include, exclude), clampK(k))
     }
 
   private def clampK(k: Int): Int = math.max(1, math.min(k, 1000))
+
+  /** P4: a non-empty query whose every token the tokenizer drops (byte
+    * length <= 2 — the reference's "query too short for a trigram" case).
+    */
+  private def isShortQuery(query: String): Boolean =
+    query != null && query.trim.nonEmpty && Tokenizer.tokenize(query).isEmpty
+
+  /** P4 short-query fallback: ALL documents are candidates, like the
+    * reference (engine.rs:1242-1246, all_documents()). We rank score 0.0
+    * in doc_id order (the reference then fast-ranks by per-doc metadata;
+    * [[searchBoosted]] is the metadata-rank analog when a static rank
+    * exists).
+    */
+  private def allDocsFallback(index: BuiltIndex, k: Int,
+      include: Seq[String], exclude: Seq[String]): Dataset[Hit] = {
+    val spark = index.spark
+    import spark.implicits._
+    val base =
+      if (include.isEmpty && exclude.isEmpty) index.docs
+      else index.docs.where(PathFilter.predicate(col("url"), include, exclude))
+    val top = base.orderBy(col("doc_id").asc).limit(k)
+      .select("doc_id", "url").as[(Long, String)].collect()
+    spark.createDataset(top.zipWithIndex.map { case ((d, u), i) =>
+      Hit(d, u, 0.0, i + 1)
+    }.toSeq)
+  }
+
+  /** Relevance x static-rank boosted search (declarative path) — the
+    * reference's dependency boost applied at scoring time
+    * (engine.rs:2003-2007): final = bm25 * static_rank, docs absent from
+    * `rank(doc_id, static_rank)` default to 1.0.
+    */
+  def searchBoosted(index: BuiltIndex, query: String, k: Int,
+      rank: DataFrame, conjunctive: Boolean = true): Dataset[Hit] =
+    scoredNaive(index, query, conjunctive) match {
+      case None => emptyHits(index.spark)
+      case Some(scored) =>
+        val boosted = scored
+          .join(rank.select("doc_id", "static_rank"), Seq("doc_id"), "left")
+          .na.fill(1.0, Seq("static_rank"))
+          .select(col("doc_id"),
+            (col("score") * col("static_rank")).as("score"))
+        finish(index, boosted, clampK(k))
+    }
+
+  /** Per-match line materialization over the FINAL top-k docs only (late
+    * materialization, the reference's fast-mode shape: rank first, read
+    * content for the survivors, engine.rs:1317-1353). Per line of a hit
+    * doc: the earliest case-insensitive occurrence of any query term
+    * (match_start 1-based, like instr), capped at
+    * [[MaxMatchesPerDoc]] lines per doc (the reference's OOM guard,
+    * engine.rs:2053-2057), snippet = +/-[[SnippetWindow]] chars around the
+    * match (truncate_around_match, engine.rs:96-185).
+    */
+  val MaxMatchesPerDoc = 100
+  val SnippetWindow = 200
+
+  def searchWithLines(index: BuiltIndex, pagesText: DataFrame, query: String,
+      k: Int, conjunctive: Boolean = true,
+      blocks: Boolean = true): Dataset[LineHit] = {
+    val spark = index.spark
+    import spark.implicits._
+    val hits =
+      if (blocks) searchBlocks(index, query, k, conjunctive)
+      else searchNaive(index, query, k, conjunctive)
+    val top = hits.collect()
+    if (top.isEmpty) return spark.emptyDataset[LineHit]
+    val hitDf = spark.createDataset(top.toIndexedSeq).toDF()
+      .select(col("doc_id"), col("url"), col("score"), col("rank"))
+    val terms = Tokenizer.tokenize(query).distinct
+    if (terms.isEmpty) {
+      // short-query fallback hits: synthesize a line-0 record per doc,
+      // like the reference's filename-match results (engine.rs:2100s)
+      return spark.createDataset(top.map(h =>
+        LineHit(h.doc_id, h.url, h.score, h.rank, 0, 0, 0, "")).toIndexedSeq)
+    }
+    val lines = hitDf
+      .join(pagesText.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("ln0", "line"))), Seq("doc_id"))
+    // earliest occurrence of any term in the line (struct orders by
+    // position first; ties prefer the shorter term), null = no match
+    val lenByPos = terms.map(t => when(instr(lower(col("line")), t) > 0,
+      struct(instr(lower(col("line")), t).as("p"), lit(t.length).as("l"))))
+    val best = array_min(array(lenByPos: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("ln0").asc)
+    val matched = lines
+      .withColumn("m", best)
+      .where(col("m").isNotNull)
+      .withColumn("nline", row_number().over(w))
+      .where(col("nline") <= MaxMatchesPerDoc)
+      .select(
+        col("doc_id"), col("url"), col("score"), col("rank"),
+        (col("ln0") + 1).cast("int").as("line_number"),
+        col("m.p").cast("int").as("match_start"),
+        (col("m.p") + col("m.l")).cast("int").as("match_end"),
+        substring(col("line"),
+          greatest(lit(1), col("m.p") - SnippetWindow),
+          lit(2 * SnippetWindow)).as("snippet"))
+    matched.as[LineHit]
+  }
 
   // ------------------------------------------------------------------
   // Block path: compressed postings + block-max pruning (production)
@@ -293,6 +404,8 @@ object Bm25Query {
       conjunctive: Boolean = true,
       include: Seq[String] = Nil, exclude: Seq[String] = Nil): Dataset[Hit] = {
     val kk = clampK(k)
+    if (isShortQuery(query))
+      return allDocsFallback(index, kk, include, exclude)
     if (include.nonEmpty || exclude.nonEmpty) {
       // A url filter must apply BEFORE top-k pruning to stay exact (the
       // per-partition heaps would otherwise fill with filtered-out docs),

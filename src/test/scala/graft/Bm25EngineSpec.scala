@@ -43,7 +43,7 @@ class Bm25EngineSpec extends AnyFunSuite {
     s"${PagesCorpus.needleTerm(0)} ${PagesCorpus.vocab(0)}",   // needle + head
     "zzzznonexistenttermzzzz",                      // no-match
     s"zzzznonexistenttermzzzz ${PagesCorpus.vocab(0)}",        // partial-missing
-    "ab")                                           // short query -> empty
+    "ab")                            // short query -> all-docs fallback (P4)
 
   test("index stats are sane") {
     assert(index.stats.num_docs == oracle.numDocs)

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.IndexBuilder
+import graft.query.Bm25Query
+import graft.symbols.Symbols
+
+class SymbolsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha first line\nbravo second\nzz tiny skipped here\ncharlie last"),
+    (2L, "ALPHA uppercased\n\n42abc numeric start"),
+    (3L, "alphabet contains alpha\nalpha again"))
+    .toDF("doc_id", "text")
+
+  test("extract: first len>2 token per line, 1-based lines, cycled kinds") {
+    val got = Symbols.extract(docs)
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(got == Set(
+      (1L, "alpha", "def", 1),
+      (1L, "bravo", "ref", 2),
+      (1L, "tiny", "use", 3), // 'zz' dropped (len<=2), next token wins
+      (1L, "charlie", "def", 4),
+      (2L, "alpha", "def", 1), // lowercased
+      // line 2 of doc 2 is empty -> no symbol
+      (2L, "42abc", "use", 3),
+      (3L, "alphabet", "def", 1),
+      (3L, "alpha", "ref", 2)))
+  }
+
+  test("search: containment match, exact name doubled, (score,doc_id) order") {
+    val sym = Symbols.extract(docs)
+    val got = Symbols.search(sym, "Alpha", 10)
+      .as[(Long, Double, Long, Int)].collect().toSeq
+    // doc 3: exact 'alpha' (2.0) + containment 'alphabet' (1.0) = 3.0
+    // doc 1: exact 'alpha' = 2.0; doc 2: exact 'alpha' = 2.0 (tie -> doc_id)
+    assert(got == Seq(
+      (3L, 3.0, 2L, 1),
+      (1L, 2.0, 1L, 1),
+      (2L, 2.0, 1L, 1)))
+  }
+
+  test("the BM25 machinery runs over the name field (symbols-as-index)") {
+    val dir = Files.createTempDirectory("graft-sym-idx").toString
+    // one 'document' per doc_id whose text is its symbol names — the same
+    // IndexBuilder/Bm25Query stack then serves symbols-only queries
+    val namePages = Symbols.extract(docs)
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.concat_ws(" ",
+        org.apache.spark.sql.functions.collect_list("name")).as("text"))
+      .withColumn("url", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("sym-"),
+        org.apache.spark.sql.functions.col("doc_id")))
+      .select("doc_id", "url", "text")
+    val idx = IndexBuilder.build(spark, namePages, dir, blockBits = 4)
+    val hits = Bm25Query.searchBlocks(idx, "charlie", 10).collect()
+    assert(hits.map(_.doc_id).toSeq == Seq(1L))
+    val hits2 = Bm25Query.searchBlocks(idx, "alpha", 10).collect()
+    assert(hits2.map(_.doc_id).toSet == Set(1L, 2L, 3L))
+  }
+}
