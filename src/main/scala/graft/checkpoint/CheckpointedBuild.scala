@@ -20,7 +20,8 @@ case class ManifestRow(
     rows: Long,
     wall_ms: Long,
     lineage: String,
-    committed_at: Long)
+    committed_at: Long,
+    fingerprint: String = "")
 
 /** Resumable index build with per-unit commit markers.
   *
@@ -46,6 +47,13 @@ object CheckpointedBuild {
 
   def isCommitted(dir: String): Boolean = Files.exists(Paths.get(dir, Marker))
 
+  private def rmrf(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
   private def commit(spark: SparkSession, outDir: String, dir: String,
       m: ManifestRow): Unit = {
     import spark.implicits._
@@ -55,7 +63,7 @@ object CheckpointedBuild {
   }
 
   def manifest(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/manifest/*")
+    spark.read.option("mergeSchema", "true").parquet(s"$outDir/manifest/*")
 
   /** Resumable build. `pagesRaw` must have (doc_id, url, html) or
     * (doc_id, url, text); when html is present the extraction front end
@@ -81,12 +89,76 @@ object CheckpointedBuild {
     val bounds = pagesRaw.agg(min("doc_id"), max("doc_id")).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (hi - lo + slices) / slices)
+    def sliceRange(p: Int): (Long, Long) =
+      (lo + p * width, if (p == slices - 1) hi + 1 else lo + (p + 1) * width)
+
+    // cheap per-slice input fingerprint over the RAW columns (no
+    // extraction): order-independent XOR of per-row hashes — the analog of
+    // the reference's (mtime, size) staleness key (persistence.rs:249-264)
+    val fpColumn =
+      if (hasHtml) xxhash64(col("url"), col("html"))
+      else xxhash64(col("url"), col("text"))
+    def sliceFingerprint(p: Int): String = {
+      val (sLo, sHi) = sliceRange(p)
+      val r = pagesRaw
+        .where(col("doc_id") >= sLo && col("doc_id") < sHi)
+        .agg(bit_xor(fpColumn)).head()
+      if (r.isNullAt(0)) "empty" else java.lang.Long.toHexString(r.getLong(0))
+    }
+
+    // ---- reconcile (resume with possibly-changed input): triage each
+    // persisted slice Valid / Stale / Removed like the reference's
+    // batch_check_files (persistence.rs:275-309, engine.rs:2281-2382);
+    // stale/removed units (and everything derived from them) are wiped so
+    // the rebuild below re-drives exactly the invalid lineage.
+    val preCommitted = (0 until slices)
+      .filter(p => isCommitted(s"$outDir/tf/slice=$p"))
+    if (preCommitted.nonEmpty) {
+      val t0 = System.nanoTime()
+      val triage = preCommitted.map { p =>
+        val (storedFp, storedLin) =
+          try {
+            val r = spark.read.parquet(s"$outDir/manifest/tf_$p").head()
+            val names = r.schema.fieldNames
+            (if (names.contains("fingerprint"))
+               r.getAs[String]("fingerprint") else "",
+             r.getAs[String]("lineage"))
+          } catch { case _: Throwable => ("", "") }
+        val (sLo, sHi) = sliceRange(p)
+        val cur = sliceFingerprint(p)
+        val status =
+          if (storedFp == cur && storedLin == s"doc_id:[$sLo,$sHi)") "valid"
+          else if (cur == "empty") "removed"
+          else "stale"
+        if (status != "valid") {
+          rmrf(spark, s"$outDir/tf/slice=$p")
+          rmrf(spark, s"$outDir/docs_raw/slice=$p")
+          rmrf(spark, s"$outDir/manifest/tf_$p")
+        }
+        status
+      }
+      val stale = triage.count(_ == "stale")
+      val removed = triage.count(_ == "removed")
+      if (stale + removed > 0) {
+        // downstream tables are pure functions of ALL slices — invalidate
+        Seq("docs", "terms", "postings", "blocks", "blocks_meta", "stats")
+          .foreach(st => rmrf(spark, s"$outDir/$st"))
+        Seq("docs", "terms", "postings", "blocks", "stats")
+          .foreach(st => rmrf(spark, s"$outDir/manifest/${st}_0"))
+      }
+      Seq(ManifestRow("reconcile", 0, triage.count(_ == "valid"),
+        (System.nanoTime() - t0) / 1000000,
+        s"valid=${triage.count(_ == "valid")} stale=$stale removed=$removed",
+        System.currentTimeMillis())).toDS()
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/manifest/reconcile_0")
+    }
+
     for (p <- 0 until slices) {
       val dir = s"$outDir/tf/slice=$p"
       if (!isCommitted(dir)) {
         val t0 = System.nanoTime()
-        val sLo = lo + p * width
-        val sHi = if (p == slices - 1) hi + 1 else lo + (p + 1) * width
+        val (sLo, sHi) = sliceRange(p)
+        val fp = sliceFingerprint(p)
         val slice = pages
           .where(col("doc_id") >= sLo && col("doc_id") < sHi)
           .where(Extract.safe(col("text")))
@@ -99,7 +171,7 @@ object CheckpointedBuild {
         val n = spark.read.parquet(dir).count()
         commit(spark, outDir, dir, ManifestRow("tf", p, n,
           (System.nanoTime() - t0) / 1000000,
-          s"doc_id:[$sLo,$sHi)", System.currentTimeMillis()))
+          s"doc_id:[$sLo,$sHi)", System.currentTimeMillis(), fp))
         onUnitCommitted("tf", p)
       }
     }

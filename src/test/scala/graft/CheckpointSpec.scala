@@ -80,6 +80,53 @@ class CheckpointSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("mutated input on resume: staleness triage rebuilds only the stale slice") {
+    val dirA = Files.createTempDirectory("graft-ckpt-stale-a").toString
+    val dirC = Files.createTempDirectory("graft-ckpt-stale-c").toString
+    val raw = PagesCorpus.pages(spark, n, parts = 4).toDF()
+    CheckpointedBuild.build(spark, raw, dirA, slices = 6)
+    val before = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "tf")
+      .collect().map(r => r.getAs[Int]("part") -> r.getAs[Long]("committed_at")).toMap
+
+    // mutate ONE doc (doc 123 lives in slice 2 of [0,300) x 6)
+    val newHtml = "resumemutation fresh content for the stale slice check"
+      .getBytes("UTF-8")
+    val mutated = raw.withColumn("html",
+      when(col("doc_id") === 123L, lit(newHtml)).otherwise(col("html")))
+
+    // resume over the mutated input; fresh build as the ground truth
+    val idxA = CheckpointedBuild.build(spark, mutated, dirA, slices = 6)
+    val idxC = CheckpointedBuild.build(spark, mutated, dirC, slices = 6)
+
+    // triage: slice 2 stale (recomputed), all others valid (untouched)
+    val after = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "tf")
+      .collect().map(r => r.getAs[Int]("part") -> r.getAs[Long]("committed_at")).toMap
+    assert(after(2) != before(2), "stale slice must be recomputed")
+    Seq(0, 1, 3, 4, 5).foreach(p =>
+      assert(after(p) == before(p), s"valid slice $p must not be recomputed"))
+    val rec = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "reconcile").collect()
+    assert(rec.length == 1)
+    assert(rec.head.getAs[String]("lineage") == "valid=5 stale=1 removed=0")
+
+    // rebuilt index == from-scratch build of the mutated input
+    def canon(path: String, table: String, cols: Seq[String]): Seq[String] =
+      spark.read.parquet(s"$path/$table").select(cols.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(dirA, "docs", Seq("doc_id", "url", "doc_len")) ==
+      canon(dirC, "docs", Seq("doc_id", "url", "doc_len")))
+    assert(canon(dirA, "terms", Seq("term_id", "term", "df", "idf")) ==
+      canon(dirC, "terms", Seq("term_id", "term", "df", "idf")))
+    assert(canon(dirA, "postings", Seq("term_id", "doc_id", "tf", "impact")) ==
+      canon(dirC, "postings", Seq("term_id", "doc_id", "tf", "impact")))
+    assert(idxA.stats == idxC.stats)
+    // the mutated content is actually served
+    val hits = Bm25Query.searchBlocks(idxA, "resumemutation", 10).collect()
+    assert(hits.map(_.doc_id).toSeq == Seq(123L))
+  }
+
   test("manifest carries lineage and metrics per unit") {
     val dir = Files.createTempDirectory("graft-ckpt-m").toString
     CheckpointedBuild.build(spark, PagesCorpus.pages(spark, 100L, parts = 2).toDF(),
