@@ -336,7 +336,107 @@ object SparkEntry {
        |       FROM toksl),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
+  // ---- generated oracles for the hash-seeded operators ----------------
+
+  /** dedup_simhash: full signature recomputation in SQL — md5 token
+    * hashes, 128 per-bit vote aggregates, sign bits packed into two
+    * UBIGINT words, exact hamming-pair join (the 4x32-chunk pigeonhole in
+    * the Spark op has recall 1.0 at hamming<=3, so the sets are equal).
+    */
+  private def simhashOracleSql: String = {
+    val one = "CAST(1 AS UBIGINT)"
+    def votes(word: String, pfx: String) = (0 until 64).map(b =>
+      s"sum(CASE WHEN (($word >> $b) & $one) = $one THEN 1 ELSE -1 END) AS $pfx$b")
+      .mkString(", ")
+    def sig(pfx: String) = (0 until 64).map(b =>
+      s"(CASE WHEN $pfx$b >= 0 THEN CAST('${java.lang.Long.toUnsignedString(1L << b)}' AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest($Tok) AS term FROM documents),
+       |h AS (SELECT doc_id,
+       |        CAST(('0x' || substr(md5(term), 1, 16)) AS UBIGINT) AS hi,
+       |        CAST(('0x' || substr(md5(term), 17, 16)) AS UBIGINT) AS lo
+       |      FROM toks),
+       |v AS (SELECT doc_id, ${votes("hi", "vh")}, ${votes("lo", "vl")}
+       |      FROM h GROUP BY doc_id),
+       |sg AS (SELECT doc_id, ${sig("vh")} AS sighi, ${sig("vl")} AS siglo FROM v)
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |       bit_count(xor(x.sighi, y.sighi)) +
+       |       bit_count(xor(x.siglo, y.siglo)) AS hamming
+       |FROM sg x JOIN sg y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sighi, y.sighi)) +
+       |      bit_count(xor(x.siglo, y.siglo)) <= 3""".stripMargin
+  }
+
+  /** Embedding dim of the test tables (all sf dirs emit 64). */
+  private val EmbDim = 64
+
+  /** Ordered left-fold dot product — bit-identical to Similarity.dotLit's
+    * `aggregate` fold (same products, same summation order).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, ${EmbDim + 1}), " +
+      s"j -> CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** sim_lsh_neardups: the hyperplanes are deterministic literals
+    * (Similarity.hyperplanes, splitmix64 seed 42) — embed their VALUES so
+    * DuckDB recomputes buckets and exact cosines from scratch.
+    */
+  private def lshOracleSql: String = {
+    val planes = graft.ops.Similarity.hyperplanes(8, EmbDim)
+    def planeLit(p: Seq[Double]) =
+      p.map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotSql("v", planeLit(p))} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |bk AS (SELECT vec_id, v, $bucket AS bucket FROM e)
+       |SELECT x.vec_id AS a, y.vec_id AS b,
+       |       round(${cosSql("x.v", "y.v")}, 4) AS sim
+       |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE ${cosSql("x.v", "y.v")} >= 0.4""".stripMargin
+  }
+
+  /** sim_ivf_topk: deterministic pmod(id,8) seed centroids (element means),
+    * nearest-centroid assignment (ties -> smallest cid), probe the 2 cells
+    * nearest the query, exact cosine top-10 within them.
+    */
+  private def ivfOracleSql: String =
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |cm AS (SELECT vec_id % 8 AS cid,
+       |              unnest(range(1, ${EmbDim + 1})) AS j, unnest(v) AS x
+       |       FROM e),
+       |cent AS (SELECT cid, list(sd ORDER BY j) AS c FROM
+       |           (SELECT cid, j, sum(x) / count(*) AS sd FROM cm GROUP BY cid, j)
+       |         GROUP BY cid),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |asn AS (SELECT vec_id, cid FROM (
+       |          SELECT e.vec_id, cent.cid,
+       |                 row_number() OVER (PARTITION BY e.vec_id
+       |                   ORDER BY ${cosSql("e.v", "cent.c")} DESC, cent.cid ASC) AS rn
+       |          FROM e CROSS JOIN cent) WHERE rn = 1),
+       |probe AS (SELECT cid FROM (
+       |            SELECT cent.cid,
+       |                   row_number() OVER (ORDER BY ${cosSql("cent.c", "q.qv")} DESC,
+       |                                      cent.cid ASC) AS rn
+       |            FROM cent, q) WHERE rn <= 2)
+       |SELECT e.vec_id AS vec_id, round(${cosSql("e.v", "q.qv")}, 4) AS sim
+       |FROM e JOIN asn USING (vec_id), q
+       |WHERE asn.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0
+       |ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id ASC
+       |LIMIT 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_simhash" -> simhashOracleSql,
+    "sim_lsh_neardups" -> lshOracleSql,
+    "sim_ivf_topk" -> ivfOracleSql,
     // Full replication of Extract.contentSafetyCheck (utils.rs:174-211):
     // (1) binary gate — NUL or >10% control chars in the first 8KB (char
     //     window stands in for the byte window: exact on ASCII text, and
@@ -633,6 +733,32 @@ object SparkEntry {
     "u2_except" ->
       """SELECT doc_id FROM documents WHERE lang = 'en'
         |EXCEPT SELECT doc_id FROM documents WHERE n_chars < 200""".stripMargin,
+
+    // FNV-1a over the payload bytes in 128-bit arithmetic mod 2^64
+    // (replicates FakeDecoder.decode exactly; >>17 arithmetic shift done
+    // as a biased floor-division, width/height from the signed checksum)
+    "mm_features" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |                  octet_length(encode(text)) AS n FROM documents),
+        |fnv AS (SELECT doc_id, n,
+        |  list_reduce(
+        |    list_prepend(CAST(1469598103934665603 AS HUGEINT),
+        |      list_transform(range(1, n + 1),
+        |        i -> CAST(CAST(('0x' || substr(hx, 2*i - 1, 2)) AS UBIGINT) AS HUGEINT))),
+        |    (acc, byte) -> (xor(acc, byte) * 1099511628211) % 18446744073709551616
+        |  ) AS hu
+        |  FROM b),
+        |s AS (SELECT doc_id, n,
+        |  CASE WHEN hu >= 9223372036854775808
+        |       THEN CAST(hu - 18446744073709551616 AS BIGINT)
+        |       ELSE CAST(hu AS BIGINT) END AS h
+        |  FROM fnv)
+        |SELECT doc_id AS mm_id, n AS n_bytes,
+        |  64 + CAST(abs(h % 577) AS INT) AS width,
+        |  64 + CAST(abs(CAST((((CAST(h AS HUGEINT) + 9223372036854775808) // 131072)
+        |                      - 70368744177664) % 431 AS BIGINT)) AS INT) AS height,
+        |  h AS checksum
+        |FROM s""".stripMargin,
 
     "w2_fast_rank" ->
       s"""WITH top100 AS (

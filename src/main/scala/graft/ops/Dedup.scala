@@ -17,8 +17,8 @@ import graft.tokenize.Tokenizer
   *    and verify only candidates (the standard MinHash+LSH funnel);
   *  - MinHash/LSH: signature build is one agg; banding turns near-dup
   *    search into an equi-join on (band, bucket) — no cross join anywhere;
-  *  - SimHash: 64-bit signature; hamming<=3 search via 4x16-bit chunk
-  *    bucketing (pigeonhole) — again an equi-join.
+  *  - SimHash: 128-bit signature; hamming<=3 search via 4x32-bit chunk
+  *    bucketing (pigeonhole, 2^32 buckets) — again an equi-join.
   */
 object Dedup {
 
@@ -165,50 +165,86 @@ object Dedup {
     verifyJaccard(cands, sh, minJ)
   }
 
-  /** 64-bit SimHash over the token stream: per-occurrence xxhash64 (seed
-    * 42 — identical to the `xxhash64` column function via Bm25.termId),
-    * each bit votes +1/-1 (occurrence votes = tf weighting), sign -> bit.
-    * A UDF: the 64-bit-vote fold would explode the codegen expression
+  /** 128-bit SimHash signature (two 64-bit words). */
+  case class Sig128(hi: Long, lo: Long)
+
+  /** 128-bit SimHash over the token stream: per-occurrence md5 (md5 is
+    * available bit-identically in Spark, DuckDB and every SQL engine, so
+    * the correctness gate can recompute signatures from scratch — an
+    * xxhash64 variant would be faster but unverifiable externally); each
+    * of the 128 hash bits votes +1/-1 per occurrence (tf weighting),
+    * sign -> bit. `hi` = first 16 hex chars of the digest (bytes 0-7
+    * big-endian), `lo` = the last 16.
+    *
+    * 128 bits also fix the round-1 scale hazard: they give 4x32-bit
+    * pigeonhole chunks => 2^32 buckets (vs 65,536 with 64-bit/16-bit
+    * chunks, whose within-bucket verify join is O((N/65k)^2) pairs at
+    * web scale).
+    *
+    * A UDF: the 128-bit-vote fold would explode the codegen expression
     * tree, and the per-row loop is trivially cheap in Scala.
     */
   val simhashUdf = udf { text: String =>
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](128)
+    val md = java.security.MessageDigest.getInstance("MD5")
     Tokenizer.tokenize(if (text == null) "" else text).foreach { t =>
-      val h = graft.index.Bm25.termId(t)
+      md.reset()
+      val d = md.digest(t.getBytes("UTF-8"))
+      var hi = 0L; var lo = 0L
+      var i = 0
+      while (i < 8) {
+        hi = (hi << 8) | (d(i) & 0xffL)
+        lo = (lo << 8) | (d(i + 8) & 0xffL)
+        i += 1
+      }
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if (((hi >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if (((lo >>> b) & 1L) == 1L) votes(64 + b) += 1 else votes(64 + b) -= 1
         b += 1
       }
     }
-    var sig = 0L
+    var sigHi = 0L; var sigLo = 0L
     var b = 0
-    while (b < 64) { if (votes(b) >= 0) sig |= (1L << b); b += 1 }
-    sig
+    while (b < 64) {
+      if (votes(b) >= 0) sigHi |= (1L << b)
+      if (votes(64 + b) >= 0) sigLo |= (1L << b)
+      b += 1
+    }
+    Sig128(sigHi, sigLo)
   }
 
-  def simhash64(text: Column): Column = simhashUdf(text)
+  /** struct(hi, lo) signature column. */
+  def simhash128(text: Column): Column = simhashUdf(text)
 
-  /** Near-dup candidate pairs with hamming(simhash) <= maxHamming (<= 3),
-    * via 4x16-bit chunk bucketing (pigeonhole: <=3 differing bits leave
-    * >=1 of 4 chunks identical) + exact popcount verify.
+  /** Near-dup pairs with hamming(simhash128) <= maxHamming (<= 3), via
+    * 4x32-bit chunk bucketing (pigeonhole: <=3 differing bits leave >=1 of
+    * 4 chunks identical => recall 1.0) + exact popcount verify. Zero-token
+    * docs carry no signal and are excluded.
     */
   def simhashDuplicates(df: DataFrame, id: String, text: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole covers hamming<=3")
-    val withSig = df.select(col(id).as("sid"), simhash64(col(text)).as("sig"))
-    val chunkStructs = (0 until 4).map(c =>
+    val withSig = df
+      .where(size(Tokenizer.tokensCol(col(text))) > 0)
+      .select(col(id).as("sid"), simhash128(col(text)).as("sig"))
+      .select(col("sid"), col("sig.hi").as("hi"), col("sig.lo").as("lo"))
+    val chunkStructs = (0 until 4).map { c =>
+      val word = if (c < 2) col("hi") else col("lo")
       struct(lit(c).as("chunk"),
-        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("piece")))
-    val chunked = withSig.select(col("sid"), col("sig"),
+        shiftrightunsigned(word, (c % 2) * 32)
+          .bitwiseAND(lit(0xffffffffL)).as("piece"))
+    }
+    val chunked = withSig.select(col("sid"), col("hi"), col("lo"),
       explode(array(chunkStructs: _*)).as("cp"))
-      .select(col("sid"), col("sig"), col("cp.chunk"), col("cp.piece"))
-    val x = chunked.toDF("a", "siga", "chunk", "piece")
-    val y = chunked.toDF("b", "sigb", "chunk", "piece")
+      .select(col("sid"), col("hi"), col("lo"), col("cp.chunk"), col("cp.piece"))
+    val x = chunked.toDF("a", "hia", "loa", "chunk", "piece")
+    val y = chunked.toDF("b", "hib", "lob", "chunk", "piece")
     x.join(y, Seq("chunk", "piece"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"),
-        bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
+        (bit_count(col("hia").bitwiseXOR(col("hib"))) +
+         bit_count(col("loa").bitwiseXOR(col("lob")))).as("hamming"))
       .groupBy("a", "b").agg(min("hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }

@@ -117,6 +117,19 @@ object Similarity {
     })
   }
 
+  /** Scale-aware hyperplane count: enough sign bits that the EXPECTED
+    * bucket holds <= targetBucketSize vectors under uniform hashing, i.e.
+    * nBits = max(8, ceil(log2(n / target))). The within-bucket verify join
+    * is O(sum bucket^2) = O(n * targetBucketSize) in expectation — linear
+    * in n, never the O(n^2/2^nBits) blowup of a fixed nBits (round 1
+    * hardcoded 8 bits = 256 buckets, a scale-killer past ~10^5 vectors).
+    */
+  def nBitsFor(n: Long, targetBucketSize: Long = 32L): Int = {
+    val buckets = math.max(1L, (n + targetBucketSize - 1) / targetBucketSize)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))
+    math.min(62, math.max(8, bits))
+  }
+
   def cosineLshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(dotLit(vec, p) >= 0, lit(1L << i)).otherwise(lit(0L))
@@ -124,6 +137,8 @@ object Similarity {
 
   /** Embedding near-dup pairs: bucket by LSH signature, verify exact
     * cosine >= minSim inside buckets (equi-join on bucket, no cross join).
+    * Size `nBits` with [[nBitsFor]] (bits must GROW with log2(n) to bound
+    * the within-bucket verification join).
     */
   def embeddingNearDups(df: DataFrame, id: String, vecCol: String,
       nBits: Int, minSim: Double): DataFrame = {

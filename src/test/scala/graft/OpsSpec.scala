@@ -49,10 +49,12 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash: identical docs hamming 0; near dups small; distinct far") {
-    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sigs = docs.select(col("doc_id"), Dedup.simhash128(col("text")).as("s"))
+      .select(col("doc_id"), col("s.hi"), col("s.lo"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(sigs(1L) == sigs(2L))
-    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
     assert(ham(sigs(1L), sigs(4L)) < ham(sigs(1L), sigs(5L)))
     val pairs = Dedup.simhashDuplicates(docs, "doc_id", "text", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
@@ -99,6 +101,16 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(r.contains((0L, 1L)))
     assert(!r.exists(p => p._2 == 4L)) // opposite vector is never a near-dup
+  }
+
+  test("lsh geometry scales with n: expected bucket size stays bounded") {
+    def expectedBucket(n: Long) = n.toDouble / math.pow(2.0, Similarity.nBitsFor(n))
+    // floor of 8 bits at small n; grows with log2(n) beyond that
+    assert(Similarity.nBitsFor(500) == 8)
+    for (n <- Seq(10L, 100000L, 10000000L, 1000000000L, 1000000000000L)) {
+      assert(expectedBucket(n) <= 32.0, s"n=$n bucket=${expectedBucket(n)}")
+    }
+    assert(Similarity.nBitsFor(1000000000000L) >= 35)
   }
 }
 
