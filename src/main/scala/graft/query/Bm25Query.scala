@@ -251,11 +251,22 @@ object Bm25Query {
   // Block path: compressed postings + block-max pruning (production)
   // ------------------------------------------------------------------
 
+  /** Adaptive-mode trigger: estimated candidate count (sum of query-term
+    * document frequencies — known from the dictionary, no extra scan)
+    * above which a disjunctive query pays one tiny pre-pass to bootstrap
+    * the WAND threshold. The reference's analog plan switch is candidates
+    * > 5000 -> fast metadata rank of the top 2000 (engine.rs:1249-1310,
+    * 1213-1217) — lossy there; our switch keeps EXACTNESS: the bootstrap
+    * threshold is a sound lower bound on the final k-th score.
+    */
+  val AdaptiveCandidateThreshold = 5000L
+
   /** (doc_id, score) of per-partition survivors (superset of global top-k),
     * or None on short-circuit.
     */
   def scoredBlocks(index: BuiltIndex, query: String, k: Int,
-      conjunctive: Boolean): Option[DataFrame] = {
+      conjunctive: Boolean,
+      adaptiveThreshold: Long = AdaptiveCandidateThreshold): Option[DataFrame] = {
     val spark = index.spark
     import spark.implicits._
     val a = analyze(index, query)
@@ -263,6 +274,25 @@ object Bm25Query {
     val kk = clampK(k)
     val qids = a.terms.map(_.term_id)
     val nTerms = a.terms.size
+
+    // Disjunctive head-term queries decode every block of every term in
+    // round 1 because each partition's heap threshold starts empty. The
+    // bootstrap: per docId-range group, L(g) = max_t block_max(t, g) is a
+    // LOWER bound on the group's best doc score (some doc attains that
+    // impact, union scoring only adds); distinct groups are disjoint doc
+    // ranges, so the k-th largest L over groups lower-bounds the global
+    // k-th best score, and any group with upper bound Σ block_max < that
+    // is skipped before decode. Sound only for OR mode: under conjunctive
+    // semantics the block-max doc may lack the other required terms.
+    val initThreshold: Double =
+      if (!conjunctive && a.terms.map(_.df).sum > adaptiveThreshold) {
+        val lows = index.blocks
+          .where(col("term_id").isin(qids: _*))
+          .groupBy("block_id").agg(max("block_max").as("l"))
+          .orderBy(col("l").desc).limit(kk)
+          .select("l").as[Double].collect()
+        if (lows.length < kk) Double.NegativeInfinity else lows.last
+      } else Double.NegativeInfinity
 
     val rows = index.blocks
       .where(col("term_id").isin(qids: _*))
@@ -281,7 +311,7 @@ object Bm25Query {
     val candidates = coLocated
       .sortWithinPartitions(col("block_id"), col("term_id"))
       .mapPartitions { it =>
-        processPartition(it, nTerms, kk, conjunctive)
+        processPartition(it, nTerms, kk, conjunctive, initThreshold)
       }(org.apache.spark.sql.Encoders.product[(Long, Double)])
       .toDF("doc_id", "score")
     Some(candidates)
@@ -291,7 +321,8 @@ object Bm25Query {
     * (block_id, term_id); each contiguous block_id run is one docId range.
     */
   private def processPartition(it: Iterator[BlockRow], nTerms: Int, k: Int,
-      conjunctive: Boolean): Iterator[(Long, Double)] = {
+      conjunctive: Boolean,
+      initThreshold: Double = Double.NegativeInfinity): Iterator[(Long, Double)] = {
     // local top-k heap: head = current worst survivor
     val worstFirst: Ordering[(Long, Double)] = (a, b) => {
       val c = java.lang.Double.compare(b._2, a._2)
@@ -315,10 +346,13 @@ object Bm25Query {
       if (group.isEmpty) return
       val present = group.size
       if (conjunctive && present < nTerms) { group.clear(); return }
-      // block-max WAND prune: upper bound of any doc in this range
+      // block-max WAND prune: upper bound of any doc in this range,
+      // checked against the bootstrap threshold (strict: docs below it
+      // cannot enter the exact top-k) and the live heap threshold
       var upper = 0.0
       var gi = 0
       while (gi < group.size) { upper += group(gi).block_max; gi += 1 }
+      if (upper < initThreshold) { group.clear(); return }
       if (heap.size == k && upper < threshold) { group.clear(); return }
       // decode; rows are term_id-ascending => per-doc sums accumulate in
       // canonical term order (bit-identical to the oracle)
@@ -402,7 +436,8 @@ object Bm25Query {
 
   def searchBlocks(index: BuiltIndex, query: String, k: Int,
       conjunctive: Boolean = true,
-      include: Seq[String] = Nil, exclude: Seq[String] = Nil): Dataset[Hit] = {
+      include: Seq[String] = Nil, exclude: Seq[String] = Nil,
+      adaptiveThreshold: Long = AdaptiveCandidateThreshold): Dataset[Hit] = {
     val kk = clampK(k)
     if (isShortQuery(query))
       return allDocsFallback(index, kk, include, exclude)
@@ -414,7 +449,7 @@ object Bm25Query {
       // ever dominate the workload.
       return searchNaive(index, query, kk, conjunctive, include, exclude)
     }
-    scoredBlocks(index, query, kk, conjunctive) match {
+    scoredBlocks(index, query, kk, conjunctive, adaptiveThreshold) match {
       case None => emptyHits(index.spark)
       case Some(scored) => finish(index, scored, kk)
     }

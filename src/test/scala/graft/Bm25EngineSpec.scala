@@ -75,6 +75,21 @@ class Bm25EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive OR-mode threshold bootstrap stays exact vs oracle") {
+    // force the pre-pass (threshold 0) on disjunctive queries, including
+    // the head-term cases where pruning actually bites
+    for (q <- queries) {
+      val want = oracle.search(q, 20, conjunctive = false)
+      val got = Bm25Query.searchBlocks(index, q, 20, conjunctive = false,
+        adaptiveThreshold = 0L).collect().toVector
+      assert(got.map(_.doc_id) == want.map(_.doc_id),
+        s"docIDs differ under adaptive bootstrap: q='$q'\n got=$got\nwant=$want")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.score == w.score, s"score differs: q='$q' doc=${g.doc_id}")
+      }
+    }
+  }
+
   test("needle queries surface exactly the manifest docs") {
     val hosts = PagesCorpus.needleDocs(0, n).map(_._1)
       .filterNot(PagesCorpus.isSafetyRow).toSet

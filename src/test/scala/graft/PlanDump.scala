@@ -42,6 +42,8 @@ object PlanDump {
       println("### PLAN 5: terms dictionary lookup (pushed In(term), sorted row groups)")
       idx.terms.where(col("term").isin(PagesCorpus.vocab(3), PagesCorpus.vocab(7)))
         .explain("formatted")
+      println("### PLAN 6: posting-block encode (one Tungsten shuffle + local sort + streaming mapPartitions)")
+      graft.index.PostingBlocks.encode(idx.postings).explain("formatted")
     }
     out.close()
     spark.stop()
