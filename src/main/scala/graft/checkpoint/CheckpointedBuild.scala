@@ -165,10 +165,14 @@ object CheckpointedBuild {
         val tf = slice
           .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
           .groupBy("term", "doc_id").agg(count(lit(1)).cast("int").as("tf"))
-        tf.write.mode(SaveMode.Overwrite).parquet(dir)
+        // row counts ride along as Observation metrics — a post-write
+        // .count() would re-read the whole unit (wasteful at corpus scale)
+        val obs = org.apache.spark.sql.Observation()
+        tf.observe(obs, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite).parquet(dir)
         val docsDir = s"$outDir/docs_raw/slice=$p"
         slice.select("doc_id", "url").write.mode(SaveMode.Overwrite).parquet(docsDir)
-        val n = spark.read.parquet(dir).count()
+        val n = obs.get("n").asInstanceOf[Long]
         commit(spark, outDir, dir, ManifestRow("tf", p, n,
           (System.nanoTime() - t0) / 1000000,
           s"doc_id:[$sLo,$sHi)", System.currentTimeMillis(), fp))
@@ -182,12 +186,14 @@ object CheckpointedBuild {
     // ---- stage 2: docs dimension
     if (!isCommitted(s"$outDir/docs")) {
       val t0 = System.nanoTime()
+      val obs = org.apache.spark.sql.Observation()
       val docLens = tfR.groupBy("doc_id").agg(sum("tf").as("doc_len"))
       docsRaw.join(docLens, Seq("doc_id"), "left")
         .na.fill(0L, Seq("doc_len"))
+        .observe(obs, count(lit(1)).as("n"))
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs")
       commit(spark, outDir, s"$outDir/docs", ManifestRow("docs", 0,
-        spark.read.parquet(s"$outDir/docs").count(),
+        obs.get("n").asInstanceOf[Long],
         (System.nanoTime() - t0) / 1000000, "tf/slice=*", System.currentTimeMillis()))
       onUnitCommitted("docs", 0)
     }
@@ -198,15 +204,19 @@ object CheckpointedBuild {
     val totalTokens = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     val avgdl = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs.toDouble
 
-    // ---- stage 3: term dictionary
+    // ---- stage 3: term dictionary (sorted within files for In(term)
+    // row-group pruning, like IndexBuilder)
     if (!isCommitted(s"$outDir/terms")) {
       val t0 = System.nanoTime()
+      val obs = org.apache.spark.sql.Observation()
       tfR.groupBy("term").agg(count(lit(1)).as("df"))
         .withColumn("term_id", xxhash64(col("term")))
         .withColumn("idf", Bm25.idfCol(numDocs, col("df")))
+        .observe(obs, count(lit(1)).as("n"))
+        .sortWithinPartitions("term")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
       commit(spark, outDir, s"$outDir/terms", ManifestRow("terms", 0,
-        spark.read.parquet(s"$outDir/terms").count(),
+        obs.get("n").asInstanceOf[Long],
         (System.nanoTime() - t0) / 1000000, "tf/slice=*", System.currentTimeMillis()))
       onUnitCommitted("terms", 0)
     }
@@ -215,15 +225,17 @@ object CheckpointedBuild {
     // ---- stage 4: postings with impacts
     if (!isCommitted(s"$outDir/postings")) {
       val t0 = System.nanoTime()
+      val obs = org.apache.spark.sql.Observation()
       tfR.join(docsR.select("doc_id", "doc_len"), Seq("doc_id"))
         .join(termsR.select("term", "term_id", "idf"), Seq("term"))
         .select(col("term_id"), col("doc_id"), col("tf"),
           Bm25.impactCol(col("tf").cast("double"),
             col("doc_len").cast("double"), avgdl, col("idf")).as("impact"))
+        .observe(obs, count(lit(1)).as("n"))
         .sortWithinPartitions("term_id", "doc_id")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/postings")
       commit(spark, outDir, s"$outDir/postings", ManifestRow("postings", 0,
-        spark.read.parquet(s"$outDir/postings").count(),
+        obs.get("n").asInstanceOf[Long],
         (System.nanoTime() - t0) / 1000000, "tf+docs+terms", System.currentTimeMillis()))
       onUnitCommitted("postings", 0)
     }
@@ -232,19 +244,24 @@ object CheckpointedBuild {
     // ---- stage 5: compressed blocks (bucketed serving layout)
     if (!isCommitted(s"$outDir/blocks")) {
       val t0 = System.nanoTime()
-      PostingBlocks.writeBlocks(postingsR, outDir,
+      val nBlocks = PostingBlocks.writeBlocks(postingsR, outDir,
         spark.sessionState.conf.numShufflePartitions, blockBits)
       commit(spark, outDir, s"$outDir/blocks", ManifestRow("blocks", 0,
-        spark.read.parquet(s"$outDir/blocks").count(),
+        nBlocks,
         (System.nanoTime() - t0) / 1000000, "postings", System.currentTimeMillis()))
       onUnitCommitted("blocks", 0)
     }
 
-    // ---- stage 6: stats
+    // ---- stage 6: stats — term/posting counts come from the manifest
+    // rows recorded at their stages' writes (a recount would re-read both
+    // tables; the manifest is authoritative on resume too)
     if (!isCommitted(s"$outDir/stats")) {
       val t0 = System.nanoTime()
+      def manifestRows(stage: String): Long =
+        spark.read.parquet(s"$outDir/manifest/${stage}_0")
+          .head().getAs[Long]("rows")
       Seq(graft.index.IndexStats(numDocs, totalTokens, avgdl,
-        termsR.count(), postingsR.count()))
+        manifestRows("terms"), manifestRows("postings")))
         .toDS().write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
       commit(spark, outDir, s"$outDir/stats", ManifestRow("stats", 0, 1,
         (System.nanoTime() - t0) / 1000000, "docs+terms+postings",

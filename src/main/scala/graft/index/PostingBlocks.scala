@@ -116,11 +116,14 @@ object PostingBlocks {
     * the query side re-sorts locally by (block_id, term_id).
     */
   def writeBlocks(postings: DataFrame, outDir: String, numBuckets: Int,
-      blockBits: Int = DefaultBlockBits): Unit = {
+      blockBits: Int = DefaultBlockBits): Long = {
     val spark = postings.sparkSession
     val table = BuiltIndex.blocksTableName(outDir)
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    val obs = org.apache.spark.sql.Observation()
     encode(postings, blockBits)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
       .write.format("parquet")
       .bucketBy(numBuckets, "block_id")
       .sortBy("term_id", "block_id")
@@ -130,5 +133,6 @@ object PostingBlocks {
     import spark.implicits._
     Seq((numBuckets, blockBits)).toDF("num_buckets", "block_bits")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/blocks_meta")
+    obs.get("n").asInstanceOf[Long]
   }
 }
