@@ -106,9 +106,9 @@ object ScalingBench {
       val extracted = IndexBuilder.extractPages(raw)
       val idx = IndexBuilder.build(spark, extracted, dir)
       val buildSec = (System.nanoTime() - t0) / 1e9
-      // serving mode: hot tables pinned (the reference serves from RAM);
-      // warm one query, then measure
-      idx.cacheHot()
+      // serving mode: hot tables pinned + driver dictionary (the
+      // reference serves from RAM); warm one query, then measure
+      idx.cacheHot().cacheDictionary()
       Bm25Query.searchBlocks(idx, PagesCorpus.vocab(9), 10).collect()
       val lat = querySet.map { case (q, conj) =>
         val q0 = System.nanoTime()

@@ -47,7 +47,7 @@ object SearchCli {
         f"postings=${s.num_postings} avgdl=${s.avgdl}%.2f " +
         f"wall=${secs}%.1fs docs_per_sec=${s.num_docs / secs}%.0f")
     case "query" :: dir :: k :: mode :: rest if rest.nonEmpty =>
-      val idx = IndexBuilder.load(spark, dir).cacheHot()
+      val idx = IndexBuilder.load(spark, dir).cacheHot().cacheDictionary()
       val q = rest.mkString(" ")
       val conj = mode != "or"
       val t0 = System.nanoTime()

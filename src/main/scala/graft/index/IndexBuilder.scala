@@ -90,6 +90,35 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
     blocks.count(); terms.count()
     this
   }
+
+  /** Optional driver-resident dictionary for serving mode: query analysis
+    * becomes a map lookup instead of a Spark job (one of the 3-4 fixed
+    * driver jobs each query pays). Only sensible when the dictionary fits
+    * the driver — the reference holds its whole trigram map in RAM
+    * (trigram.rs:63-71); at 10^9+ terms keep the pruned parquet lookup
+    * (terms files are sorted by term, so the pushed In(term) filter reads
+    * a handful of row groups) or shard the dictionary.
+    */
+  @volatile private var hotDict: Map[String, (Long, Long, Double)] = null
+
+  def cacheDictionary(maxTerms: Long = 50000000L): this.type = {
+    if (stats.num_terms <= maxTerms) {
+      import spark.implicits._
+      hotDict = terms.select("term", "term_id", "df", "idf")
+        .as[(String, Long, Long, Double)].collect()
+        .map { case (t, id, df, idf) => t -> ((id, df, idf)) }.toMap
+    }
+    this
+  }
+
+  /** Driver dictionary lookup, None when not cached. */
+  def lookupTerms(tokens: Seq[String]): Option[Seq[(String, Long, Long, Double)]] = {
+    val d = hotDict
+    if (d == null) None
+    else Some(tokens.flatMap(t => d.get(t).map { case (id, df, idf) =>
+      (t, id, df, idf)
+    }))
+  }
 }
 
 object BuiltIndex {

@@ -56,13 +56,19 @@ object Bm25Query {
   def analyze(index: BuiltIndex, query: String): Analyzed = {
     val qTokens = Tokenizer.tokenize(query).distinct
     if (qTokens.isEmpty) return Analyzed(Vector.empty, 0)
-    import index.spark.implicits._
-    val resolved = index.terms
-      .where(col("term").isin(qTokens: _*))
-      .select("term", "term_id", "df", "idf")
-      .as[QueryTerm].collect().toVector
-      .sortBy(t => (t.df, t.term_id))
-    Analyzed(resolved, qTokens.size)
+    // serving mode: driver-resident dictionary => zero-job analysis;
+    // otherwise a pruned In(term) scan of the sorted dictionary files
+    val resolved = index.lookupTerms(qTokens) match {
+      case Some(hits) =>
+        hits.map { case (t, id, df, idf) => QueryTerm(t, id, df, idf) }.toVector
+      case None =>
+        import index.spark.implicits._
+        index.terms
+          .where(col("term").isin(qTokens: _*))
+          .select("term", "term_id", "df", "idf")
+          .as[QueryTerm].collect().toVector
+    }
+    Analyzed(resolved.sortBy(t => (t.df, t.term_id)), qTokens.size)
   }
 
   private def emptyHits(spark: SparkSession): Dataset[Hit] = {

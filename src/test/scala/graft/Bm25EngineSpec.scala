@@ -90,6 +90,23 @@ class Bm25EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-resident dictionary (serving mode) changes nothing") {
+    val q = s"${PagesCorpus.vocab(3)} ${PagesCorpus.vocab(7)}"
+    val cold = Bm25Query.searchBlocks(index, q, 20).collect().toSeq
+      .map(h => (h.doc_id, h.score))
+    index.cacheDictionary()
+    try {
+      val hot = Bm25Query.searchBlocks(index, q, 20).collect().toSeq
+        .map(h => (h.doc_id, h.score))
+      assert(hot == cold)
+      // missing-term short circuit still works through the map
+      assert(Bm25Query.searchBlocks(index, "zzznope " + PagesCorpus.vocab(0),
+        10).collect().isEmpty)
+    } finally {
+      // other tests in this suite share the index; leave state hot is fine
+    }
+  }
+
   test("needle queries surface exactly the manifest docs") {
     val hosts = PagesCorpus.needleDocs(0, n).map(_._1)
       .filterNot(PagesCorpus.isSafetyRow).toSet
