@@ -153,11 +153,6 @@ object IndexBuilder {
   def build(spark: SparkSession, pagesDf: DataFrame, outDir: String,
       blockBits: Int = PostingBlocks.DefaultBlockBits,
       numBuckets: Int = -1): BuiltIndex = {
-    import spark.implicits._
-    val buckets =
-      if (numBuckets > 0) numBuckets
-      else spark.sessionState.conf.numShufflePartitions
-
     // S5: content safety gate (content_safety_check, utils.rs:174-211)
     val docsClean = pagesDf
       .select(col("doc_id"), col("url"), col("text"))
@@ -174,18 +169,36 @@ object IndexBuilder {
     val tfR = spark.read.parquet(s"$outDir/tf")
 
     // A6: doc lengths; docs dimension keeps zero-token docs (doc_len=0).
-    // A5 stats ride along as Observation metrics on the same write (no
-    // extra scan). avgdl = total_tokens / num_docs (exact: integer sums
-    // below 2^53 are order-independent in double).
-    val docsObs = org.apache.spark.sql.Observation("docs_n")
     val docLens = tfR.groupBy("doc_id").agg(sum("tf").as("doc_len"))
     val docs = docsClean.select("doc_id", "url")
       .join(docLens, Seq("doc_id"), "left")
       .na.fill(0L, Seq("doc_len"))
-      .observe(docsObs, count(lit(1)).as("n"), sum("doc_len").as("tt"))
+    buildFromTf(spark, tfR, docs, outDir, blockBits, numBuckets)
+  }
+
+  /** Build the derived index tables (docs/terms/postings/blocks/stats)
+    * from token-frequency rows `(term, doc_id, tf)` and a docs dimension
+    * `(doc_id, url, doc_len)` — the shared tail of the batch build and
+    * the streaming compaction (IncrementalIndex.compact).
+    */
+  def buildFromTf(spark: SparkSession, tfR: DataFrame, docsDim: DataFrame,
+      outDir: String,
+      blockBits: Int = PostingBlocks.DefaultBlockBits,
+      numBuckets: Int = -1): BuiltIndex = {
+    import spark.implicits._
+    val buckets =
+      if (numBuckets > 0) numBuckets
+      else spark.sessionState.conf.numShufflePartitions
+
+    // A5 stats ride along as Observation metrics on the docs write (no
+    // extra scan). avgdl = total_tokens / num_docs (exact: integer sums
+    // below 2^53 are order-independent in double).
+    val docsObs = org.apache.spark.sql.Observation()
     // sorted within files so the per-query url attach (doc_id IN top-k)
     // prunes row groups instead of scanning the whole dimension
-    docs.sortWithinPartitions("doc_id")
+    docsDim
+      .observe(docsObs, count(lit(1)).as("n"), sum("doc_len").as("tt"))
+      .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(s"$outDir/docs")
     val docsR = spark.read.parquet(s"$outDir/docs")
 

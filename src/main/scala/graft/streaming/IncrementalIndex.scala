@@ -85,4 +85,18 @@ object IncrementalIndex {
     val latest = d.groupBy("doc_id").agg(max("batch").as("batch"))
     d.join(latest, Seq("doc_id", "batch")).select("doc_id", "url", "doc_len")
   }
+
+  /** Compact the streamed state into a full SERVING index (terms,
+    * postings, compressed bucketed blocks, stats) at `outDir` — the
+    * analog of the reference's periodic full save after watcher updates
+    * (save_on_watcher_update, config.rs:150): the stream keeps the
+    * latest-wins tf/docs deltas cheap to append; compaction turns them
+    * into the query-optimal layout whenever serving wants to refresh.
+    */
+  def compact(spark: SparkSession, indexDir: String, outDir: String,
+      blockBits: Int = graft.index.PostingBlocks.DefaultBlockBits,
+      numBuckets: Int = -1): graft.index.BuiltIndex =
+    graft.index.IndexBuilder.buildFromTf(spark,
+      currentTf(spark, indexDir), currentDocs(spark, indexDir),
+      outDir, blockBits, numBuckets)
 }

