@@ -42,6 +42,17 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
       Some((r.getInt(0), r.getInt(1)))
     } catch { case _: Throwable => None }
 
+  /** Impact encoding of the blocks table: "f64" (bit-exact scores) or
+    * "q8" (8-bit quantized, ~8x smaller impact payloads).
+    */
+  lazy val impactCodec: String =
+    try {
+      val df = spark.read.parquet(s"$path/blocks_meta")
+      if (df.columns.contains("impact_codec"))
+        df.head().getAs[String]("impact_codec")
+      else "f64"
+    } catch { case _: Throwable => "f64" }
+
   /** Whether the blocks table carries the bucketed-by-block_id contract
     * (query merge may then skip its per-query Exchange).
     */
@@ -152,7 +163,8 @@ object IndexBuilder {
     */
   def build(spark: SparkSession, pagesDf: DataFrame, outDir: String,
       blockBits: Int = PostingBlocks.DefaultBlockBits,
-      numBuckets: Int = -1): BuiltIndex = {
+      numBuckets: Int = -1,
+      quantizeImpacts: Boolean = false): BuiltIndex = {
     // S5: content safety gate (content_safety_check, utils.rs:174-211)
     val docsClean = pagesDf
       .select(col("doc_id"), col("url"), col("text"))
@@ -173,7 +185,8 @@ object IndexBuilder {
     val docs = docsClean.select("doc_id", "url")
       .join(docLens, Seq("doc_id"), "left")
       .na.fill(0L, Seq("doc_len"))
-    buildFromTf(spark, tfR, docs, outDir, blockBits, numBuckets)
+    buildFromTf(spark, tfR, docs, outDir, blockBits, numBuckets,
+      quantizeImpacts)
   }
 
   /** Build the derived index tables (docs/terms/postings/blocks/stats)
@@ -184,7 +197,8 @@ object IndexBuilder {
   def buildFromTf(spark: SparkSession, tfR: DataFrame, docsDim: DataFrame,
       outDir: String,
       blockBits: Int = PostingBlocks.DefaultBlockBits,
-      numBuckets: Int = -1): BuiltIndex = {
+      numBuckets: Int = -1,
+      quantizeImpacts: Boolean = false): BuiltIndex = {
     import spark.implicits._
     val buckets =
       if (numBuckets > 0) numBuckets
@@ -256,7 +270,8 @@ object IndexBuilder {
     // Posting blocks: fixed docId ranges (block_id = doc_id >> blockBits)
     // act as the salt for head-term skew (see PostingBlock scaladoc).
     // Streaming encode + bucketed write (serving-path layout contract).
-    PostingBlocks.writeBlocks(postingsR, outDir, buckets, blockBits)
+    PostingBlocks.writeBlocks(postingsR, outDir, buckets, blockBits,
+      quantizeImpacts)
 
     val numTerms = termsObs.get("n").asInstanceOf[Long]
     val numPostings = postObs.get("n").asInstanceOf[Long]

@@ -45,9 +45,11 @@ object PostingBlocks {
     * and shuffle read).
     */
   def encode(postings: DataFrame,
-      blockBits: Int = DefaultBlockBits): Dataset[PostingBlock] = {
+      blockBits: Int = DefaultBlockBits,
+      quantizeImpacts: Boolean = false): Dataset[PostingBlock] = {
     val spark = postings.sparkSession
     import spark.implicits._
+    val q8 = quantizeImpacts
     postings
       .withColumn("block_id", shiftright(col("doc_id"), blockBits))
       .repartition(col("term_id"), col("block_id"))
@@ -55,7 +57,7 @@ object PostingBlocks {
       .select(col("term_id"), col("doc_id"), col("tf").cast("int").as("tf"),
         col("impact"), col("block_id"))
       .as[PostingRowIn]
-      .mapPartitions(encodePartition _)
+      .mapPartitions(it => encodePartition(it, q8))
   }
 
   /** Streaming group encoder over rows sorted by (term_id, block_id,
@@ -64,7 +66,8 @@ object PostingBlocks {
     * terms' postings, and the build fails loudly.
     */
   private[index] def encodePartition(
-      it: Iterator[PostingRowIn]): Iterator[PostingBlock] =
+      it: Iterator[PostingRowIn],
+      q8: Boolean = false): Iterator[PostingBlock] =
     new Iterator[PostingBlock] {
       private var pending: PostingRowIn = if (it.hasNext) it.next() else null
       def hasNext: Boolean = pending != null
@@ -91,10 +94,12 @@ object PostingBlocks {
           r = if (it.hasNext) it.next() else null
         }
         pending = r
+        val impArr = java.util.Arrays.copyOf(imps, n)
         PostingBlock(term, block, n,
           PostingCodec.encodeDocIds(java.util.Arrays.copyOf(docs, n)),
           PostingCodec.encodeTfs(java.util.Arrays.copyOf(tfs, n)),
-          PostingCodec.encodeImpacts(java.util.Arrays.copyOf(imps, n)),
+          if (q8) PostingCodec.encodeImpactsQ8(impArr)
+          else PostingCodec.encodeImpacts(impArr),
           blockMax)
       }
     }
@@ -116,12 +121,13 @@ object PostingBlocks {
     * the query side re-sorts locally by (block_id, term_id).
     */
   def writeBlocks(postings: DataFrame, outDir: String, numBuckets: Int,
-      blockBits: Int = DefaultBlockBits): Long = {
+      blockBits: Int = DefaultBlockBits,
+      quantizeImpacts: Boolean = false): Long = {
     val spark = postings.sparkSession
     val table = BuiltIndex.blocksTableName(outDir)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val obs = org.apache.spark.sql.Observation()
-    encode(postings, blockBits)
+    encode(postings, blockBits, quantizeImpacts)
       .observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))
       .write.format("parquet")
@@ -131,7 +137,8 @@ object PostingBlocks {
       .mode(SaveMode.Overwrite)
       .saveAsTable(table)
     import spark.implicits._
-    Seq((numBuckets, blockBits)).toDF("num_buckets", "block_bits")
+    Seq((numBuckets, blockBits, if (quantizeImpacts) "q8" else "f64"))
+      .toDF("num_buckets", "block_bits", "impact_codec")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/blocks_meta")
     obs.get("n").asInstanceOf[Long]
   }

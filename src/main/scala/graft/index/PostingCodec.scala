@@ -109,4 +109,70 @@ object PostingCodec {
     }
     out
   }
+
+  // ---- 8-bit impact quantization (production compression path) ----
+  //
+  // Per-block linear quantization: a 16-byte [lo, hi] header then ONE
+  // byte per posting (~8x smaller than f64 impacts). Levels are rounded
+  // UP, so decoded >= true impact and decoded <= hi <= block_max — the
+  // WAND upper bounds stay admissible and pruning stays safe; scores are
+  // slight overestimates with error <= (hi-lo)/255 per term. This trades
+  // the bit-exactness gate for compression, hence behind a flag.
+
+  @inline private def writeDoubleLE(out: Array[Byte], off: Int, v: Double): Unit = {
+    var bits = java.lang.Double.doubleToLongBits(v)
+    var j = 0
+    while (j < 8) { out(off + j) = (bits & 0xff).toByte; bits >>>= 8; j += 1 }
+  }
+
+  @inline private def readDoubleLE(bytes: Array[Byte], off: Int): Double = {
+    var bits = 0L
+    var j = 7
+    while (j >= 0) { bits = (bits << 8) | (bytes(off + j) & 0xffL); j -= 1 }
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
+  /** Quantize one block's impacts to 8-bit levels (round-up). */
+  def encodeImpactsQ8(a: Array[Double]): Array[Byte] = {
+    val n = a.length
+    var lo = Double.MaxValue
+    var hi = -Double.MaxValue
+    var i = 0
+    while (i < n) {
+      if (a(i) < lo) lo = a(i)
+      if (a(i) > hi) hi = a(i)
+      i += 1
+    }
+    if (n == 0) { lo = 0.0; hi = 0.0 }
+    val out = new Array[Byte](16 + n)
+    writeDoubleLE(out, 0, lo)
+    writeDoubleLE(out, 8, hi)
+    val step = (hi - lo) / 255.0
+    i = 0
+    while (i < n) {
+      val lvl =
+        if (step == 0.0) 0
+        else math.min(255, math.ceil((a(i) - lo) / step).toInt)
+      out(16 + i) = lvl.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Decode Q8 impacts: value = lo + level * step (>= the true impact). */
+  def decodeImpactsQ8(bytes: Array[Byte], n: Int): Array[Double] = {
+    val lo = readDoubleLE(bytes, 0)
+    val hi = readDoubleLE(bytes, 8)
+    val step = (hi - lo) / 255.0
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val lvl = bytes(16 + i) & 0xff
+      // level 255 decodes to hi EXACTLY so no decoded value can exceed
+      // the stored block_max even by a rounding ulp
+      out(i) = if (lvl == 255) hi else lo + lvl * step
+      i += 1
+    }
+    out
+  }
 }

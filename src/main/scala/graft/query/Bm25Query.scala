@@ -314,10 +314,11 @@ object Bm25Query {
     val coLocated =
       if (index.blocksBucketed) rows
       else rows.repartition(col("block_id"))
+    val q8 = index.impactCodec == "q8"
     val candidates = coLocated
       .sortWithinPartitions(col("block_id"), col("term_id"))
       .mapPartitions { it =>
-        processPartition(it, nTerms, kk, conjunctive, initThreshold)
+        processPartition(it, nTerms, kk, conjunctive, initThreshold, q8)
       }(org.apache.spark.sql.Encoders.product[(Long, Double)])
       .toDF("doc_id", "score")
     Some(candidates)
@@ -328,7 +329,11 @@ object Bm25Query {
     */
   private def processPartition(it: Iterator[BlockRow], nTerms: Int, k: Int,
       conjunctive: Boolean,
-      initThreshold: Double = Double.NegativeInfinity): Iterator[(Long, Double)] = {
+      initThreshold: Double = Double.NegativeInfinity,
+      q8: Boolean = false): Iterator[(Long, Double)] = {
+    @inline def decodeImp(bytes: Array[Byte], n: Int): Array[Double] =
+      if (q8) PostingCodec.decodeImpactsQ8(bytes, n)
+      else PostingCodec.decodeImpacts(bytes, n)
     // local top-k heap: head = current worst survivor
     val worstFirst: Ordering[(Long, Double)] = (a, b) => {
       val c = java.lang.Double.compare(b._2, a._2)
@@ -369,7 +374,7 @@ object Bm25Query {
         while (gi < present) {
           val r = group(gi)
           docArrays(gi) = PostingCodec.decodeDocIds(r.docs_enc, r.n)
-          impArrays(gi) = PostingCodec.decodeImpacts(r.impacts_enc, r.n)
+          impArrays(gi) = decodeImp(r.impacts_enc, r.n)
           gi += 1
         }
         // k-way sorted intersection, smallest list drives (K2 semantics)
@@ -411,7 +416,7 @@ object Bm25Query {
         while (gi < present) {
           val r = group(gi)
           val ds = PostingCodec.decodeDocIds(r.docs_enc, r.n)
-          val is = PostingCodec.decodeImpacts(r.impacts_enc, r.n)
+          val is = decodeImp(r.impacts_enc, r.n)
           var i = 0
           while (i < ds.length) {
             acc.update(ds(i), acc.getOrElse(ds(i), 0.0) + is(i))

@@ -54,4 +54,26 @@ class PostingCodecSpec extends AnyFunSuite {
       PostingCodec.encodeDocIds(Array(5L, 5L))
     }
   }
+
+  test("q8 impacts: ~1 byte/posting, decoded >= true, bounded error, admissible") {
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(1000)(0.5 + rnd.nextDouble() * 7.5)
+    val enc = PostingCodec.encodeImpactsQ8(xs)
+    assert(enc.length == 16 + xs.length) // vs 8 bytes/posting for f64
+    val dec = PostingCodec.decodeImpactsQ8(enc, xs.length)
+    val hi = xs.max
+    val step = (hi - xs.min) / 255.0
+    xs.zip(dec).foreach { case (a, b) =>
+      assert(b >= a, "round-up quantization: decoded must dominate true")
+      assert(b - a <= step + 1e-12, "error bounded by one level")
+      assert(b <= hi, "no decoded impact may exceed the block max")
+    }
+    // extremes land exactly
+    assert(dec(xs.indexOf(hi)) == hi)
+    assert(dec(xs.indexOf(xs.min)) == xs.min)
+    // constant block degenerates cleanly
+    val c = Array(2.5, 2.5, 2.5)
+    val dc = PostingCodec.decodeImpactsQ8(PostingCodec.encodeImpactsQ8(c), 3)
+    assert(dc.toSeq == Seq(2.5, 2.5, 2.5))
+  }
 }
