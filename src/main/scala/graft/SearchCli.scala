@@ -55,6 +55,22 @@ object SearchCli {
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"[query] q='$q' mode=$mode k=$k hits=${hits.length} wall=${ms}%.0fms")
       hits.foreach(h => println(f"  ${h.rank}%3d ${h.score}%10.4f ${h.doc_id}%8d ${h.url}"))
+    // S9: JSON result sink (reference REST response shape,
+    // web/api.rs:146-260): one JSON record per hit + a summary line
+    case "query-json" :: dir :: k :: mode :: rest if rest.nonEmpty =>
+      val idx = IndexBuilder.load(spark, dir).cacheHot().cacheDictionary()
+      val q = rest.mkString(" ")
+      val t0 = System.nanoTime()
+      val hits = Bm25Query.searchBlocks(idx, q, k.toInt, mode != "or").collect()
+      val ms = (System.nanoTime() - t0) / 1e6
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+      hits.foreach(h => println(
+        s"""{"rank":${h.rank},"score":${h.score},"doc_id":${h.doc_id},""" +
+        s""""url":"${esc(h.url)}"}"""))
+      println(f"""{"query":"${esc(q)}","mode":"$mode","hits":${hits.length},"elapsed_ms":$ms%.1f}""")
     // line-level results (reference result record: path, line, span,
     // snippet — proto/search.proto:19-28); needs the pages parquet for
     // late content materialization
@@ -75,6 +91,7 @@ object SearchCli {
       System.err.println(s"unknown args: ${other.mkString(" ")}")
       System.err.println(
         "usage: build <nDocs> <indexDir> | query <indexDir> <k> <and|or> <terms...>" +
+        " | query-json <indexDir> <k> <and|or> <terms...>" +
         " | lines <indexDir> <pagesParquet> <k> <and|or> <terms...>")
       sys.exit(2)
   }

@@ -41,7 +41,9 @@ object SparkEntry {
         col("doc_id"),
         concat(lit("doc-"), col("doc_id")).as("url"),
         col("text"))
-      IndexBuilder.build(s, pages, out)
+      // serving mode for the query gates: hot block/terms tables +
+      // driver dictionary (query analysis without a Spark job)
+      IndexBuilder.build(s, pages, out).cacheHot().cacheDictionary()
     })
 
   private def topkDf(s: SparkSession, dir: String, q: String, k: Int,

@@ -98,7 +98,8 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
   def cacheHot(): this.type = {
     blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     terms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    blocks.count(); terms.count()
+    docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    blocks.count(); terms.count(); docs.count()
     this
   }
 
