@@ -175,6 +175,38 @@ object ScalingBench {
          |  single-node in-RAM engine; its ~100 MB/s single-node indexing and
          |  ms-scale hot-RAM query latencies anchor the per-node budget, not
          |  the distributed design).
+         |
+         |## Methodology / parallelism-span notes
+         |
+         |Fixed 64-partition task graph at both levels; corpus
+         |pre-materialized to parquet (untimed); JIT warm-up build before
+         |the first measured run; levels interleaved best-of-2 (host
+         |neighbors swing identical runs up to +/-50%% at high thread
+         |counts); the pure-CPU zero-shuffle probe at the same two thread
+         |counts bounds what ANY workload can reach on this box.
+         |
+         |- The 2->8 span is the cleanest hardware span on this VM (the
+         |  probe itself degrades past ~16 threads: vCPUs are SMT-shared
+         |  and the host throttles); the hardware-normalized number factors
+         |  residual interference out.
+         |- Corpora kept at <=200k docs: past that a single JVM hits memory
+         |  pressure at high thread counts (concurrent tasks over 150M+-row
+         |  joins spill while local[2] stays linear), which conflates
+         |  per-node memory with CPU scaling; a real N->4N executor
+         |  scale-out multiplies memory with cores.
+         |- Round-1 history: 0.738 with the kryo ObjectHashAggregate block
+         |  builder; 0.848 after the round-2 Tungsten shuffle + streaming
+         |  encode rewrite; the round-2 zero-shuffle doc-local tf stage is
+         |  included from the third measurement on.
+         |
+         |Design properties that carry to a real cluster regardless of the
+         |local numbers: no driver-side data paths in the build, doc-local
+         |tf (no tokenize shuffle), map-side combine on every aggregation,
+         |fixed-docId-range block salting for head terms, one Tungsten
+         |shuffle + streaming encode for block construction, bucketed
+         |serving layout (zero per-query Exchange), and filter-pushdown-
+         |preserving storage (sorted row groups, PushedFilters verified in
+         |PLANS.md).
          |""".stripMargin
     Files.createDirectories(java.nio.file.Paths.get("BENCH"))
     Files.writeString(java.nio.file.Paths.get("BENCH/BASELINE.md"), md)

@@ -7,7 +7,6 @@ import org.apache.spark.sql.functions._
 
 import graft.extract.Extract
 import graft.index.{Bm25, BuiltIndex, PostingBlocks}
-import graft.tokenize.Tokenizer
 
 /** One manifest row per committed build unit: the per-partition lineage +
   * build metrics the north rule requires (analog of the reference's
@@ -162,9 +161,8 @@ object CheckpointedBuild {
         val slice = pages
           .where(col("doc_id") >= sLo && col("doc_id") < sHi)
           .where(Extract.safe(col("text")))
-        val tf = slice
-          .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
-          .groupBy("term", "doc_id").agg(count(lit(1)).cast("int").as("tf"))
+        // doc-local tf histogram — zero-shuffle (see IndexBuilder.termFrequencies)
+        val tf = graft.index.IndexBuilder.termFrequencies(slice)
         // row counts ride along as Observation metrics — a post-write
         // .count() would re-read the whole unit (wasteful at corpus scale)
         val obs = org.apache.spark.sql.Observation()

@@ -192,10 +192,20 @@ object RegexQuery {
     * (score DESC, doc_id ASC), k clamped to 1..1000.
     */
   def search(index: BuiltIndex, pagesText: DataFrame, pattern: String,
-      k: Int): Dataset[Hit] = {
+      k: Int,
+      include: Seq[String] = Nil, exclude: Seq[String] = Nil): Dataset[Hit] = {
     val spark = index.spark
     import spark.implicits._
     val kk = math.max(1, math.min(k, 1000))
+    // P5 on the regex path (reference search_regex honors the same path
+    // filters, engine.rs:1540-1613): restrict candidates by url BEFORE
+    // the top-k, exactly like the BM25 paths
+    val urlFilter: DataFrame => DataFrame =
+      if (include.isEmpty && exclude.isEmpty) identity
+      else df => df.join(
+        index.docs.where(PathFilter.predicate(col("url"), include, exclude))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
     val lits = requiredLiterals(pattern)
     // (?i): ASCII case-insensitive like the reference's fold
     // (engine.rs:22-65); (?s): '.' crosses lines. Applied to the ORIGINAL
@@ -222,7 +232,7 @@ object RegexQuery {
         .where(regexp_like(col("text"), lit(rx)))
         .select(col("doc_id"), lit(0.0).as("score"))
     }
-    val top = verifiedScored
+    val top = urlFilter(verifiedScored)
       .orderBy(col("score").desc, col("doc_id").asc).limit(kk)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     if (top.isEmpty) return spark.emptyDataset[Hit]

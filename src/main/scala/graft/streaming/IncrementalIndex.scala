@@ -6,7 +6,6 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.extract.Extract
-import graft.tokenize.Tokenizer
 
 /** Incremental index maintenance via Structured Streaming — the Spark
   * re-expression of the reference's watcher pipeline:
@@ -41,9 +40,8 @@ object IncrementalIndex {
       else batch
     val clean = pages.where(Extract.safe(col("text")))
       .select(col("doc_id"), col("url"), col("text"))
-    val tf = clean
-      .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).cast("int").as("tf"))
+    // doc-local tf histogram — zero-shuffle (see IndexBuilder.termFrequencies)
+    val tf = graft.index.IndexBuilder.termFrequencies(clean)
       .withColumn("batch", lit(batchId))
     tf.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stream_tf/batch=$batchId")
     clean.select("doc_id", "url")

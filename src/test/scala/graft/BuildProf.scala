@@ -32,9 +32,7 @@ object BuildProf {
     t("2 tokenize+explode (count)") {
       pages.select(explode(Tokenizer.tokensCol(col("text"))).as("t")).count()
     }
-    val tf = pages.select(col("doc_id"),
-        explode(Tokenizer.tokensCol(col("text"))).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).cast("int").as("tf"))
+    val tf = graft.index.IndexBuilder.termFrequencies(pages)
     t("3 tf agg + write") { tf.write.parquet(s"$out/tf") }
     val tfR = spark.read.parquet(s"$out/tf")
     t("4 docLens") { tfR.groupBy("doc_id").agg(sum("tf")).count() }

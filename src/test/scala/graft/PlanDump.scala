@@ -22,10 +22,9 @@ object PlanDump {
       IndexBuilder.extractPages(PagesCorpus.pages(spark, 2000, parts = 8).toDF()), dir)
     val out = new PrintStream(new File("/tmp/plans_raw.txt"))
     Console.withOut(out) {
-      println("### PLAN 1: tf aggregation (tokenize -> explode -> partial+final hash agg)")
-      PagesCorpus.pages(spark, 2000, parts = 8).toDF()
-        .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
-        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf")).explain("formatted")
+      println("### PLAN 1: tf stage (doc-local histogram flatMap — ZERO shuffle)")
+      IndexBuilder.termFrequencies(
+        PagesCorpus.pages(spark, 2000, parts = 8).toDF()).explain("formatted")
       println("### PLAN 2: naive BM25 scoring (pushed term_id IN filter, canonical-order sum)")
       Bm25Query.scoredNaive(idx,
         s"${PagesCorpus.vocab(3)} ${PagesCorpus.vocab(7)}", conjunctive = true)

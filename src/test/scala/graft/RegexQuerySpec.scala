@@ -109,5 +109,14 @@ class RegexQuerySpec extends AnyFunSuite {
     val p5 = "rendezvous\\Wonce"
     assert(run(p5) == groundTruth(p5))
     assert(groundTruth(p5).nonEmpty)
+
+    // combined regex + path filter (reference search_regex honors the
+    // same include/exclude globs)
+    val withF = RegexQuery.search(idx, pages, "rendezvous\\Wonce", 1000,
+      include = Seq("https://x/*")).collect().map(_.doc_id).toSet
+    assert(withF == groundTruth(p5).filter(_ >= 900000L))
+    val withX = RegexQuery.search(idx, pages, "rendezvous\\Wonce", 1000,
+      exclude = Seq("https://x/*")).collect().map(_.doc_id).toSet
+    assert(withX == groundTruth(p5).filter(_ < 900000L))
   }
 }
