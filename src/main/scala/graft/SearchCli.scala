@@ -36,11 +36,9 @@ object SearchCli {
       val t0 = System.nanoTime()
       val raw = PagesCorpus.pages(spark, nDocs.toLong)
       val extracted = IndexBuilder.extractPages(raw.toDF())
-      // persist extracted pages beside the index: the `lines` mode
-      // late-materializes content from here (the index stores no raw text)
-      extracted.write.mode("overwrite").parquet(s"$dir/pages")
-      val idx = IndexBuilder.build(spark,
-        spark.read.parquet(s"$dir/pages"), dir)
+      // IndexBuilder persists the extracted pages at <dir>/pages; the
+      // `lines` mode late-materializes content from there
+      val idx = IndexBuilder.build(spark, extracted, dir)
       val secs = (System.nanoTime() - t0) / 1e9
       val s = idx.stats
       println(f"[build] docs=${s.num_docs} terms=${s.num_terms} " +

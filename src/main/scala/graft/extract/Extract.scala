@@ -27,12 +27,25 @@ import org.apache.spark.sql.functions.udf
   */
 object Extract {
 
+  // decoders are reused per thread — a fresh CharsetDecoder per row was
+  // measurable allocation/GC pressure in the extraction stage, which is
+  // memory-bandwidth-bound on this box (the convenience decode() resets
+  // the decoder, so reuse is safe)
+  private val decoders =
+    ThreadLocal.withInitial[java.util.HashMap[String, java.nio.charset.CharsetDecoder]](
+      () => new java.util.HashMap)
+
   /** Strict UTF-8 validation + decode; None if invalid. */
   private def strictDecode(bytes: Array[Byte], off: Int,
       cs: java.nio.charset.Charset): Option[String] = {
-    val dec = cs.newDecoder()
-      .onMalformedInput(CodingErrorAction.REPORT)
-      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    val m = decoders.get()
+    var dec = m.get(cs.name())
+    if (dec == null) {
+      dec = cs.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      m.put(cs.name(), dec)
+    }
     try Some(dec.decode(ByteBuffer.wrap(bytes, off, bytes.length - off)).toString)
     catch { case _: CharacterCodingException => None }
   }
@@ -102,33 +115,56 @@ object Extract {
 
   /** Mirror of `content_safety_check` (/root/reference/src/utils.rs:174-211).
     * None = safe; Some(reason) = drop the row before indexing.
+    *
+    * Single pass over the string with byte positions DERIVED from code
+    * points — the round-1 version materialized the full UTF-8 byte array
+    * twice per doc (one copy for the binary check, one for the line
+    * scan), which dominated allocation in the extraction stage. The
+    * byte-level semantics are preserved exactly: NUL and control chars
+    * are 1-byte code points, UTF-8 continuation bytes are never < 0x20,
+    * and per-line lengths accumulate encoded byte widths.
     */
   def contentSafetyCheck(content: String): Option[String] = {
-    if (isBinaryContent(content)) return Some("binary")
-    val bytes = content.getBytes(StandardCharsets.UTF_8)
-    var lineLen = 0
+    val n = content.length
     var i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == '\n') lineLen = 0
-      else {
-        lineLen += 1
-        if (lineLen > MaxSafeLineLength) return Some("long-line")
+    var bytePos = 0L
+    var nonText = 0
+    var sawNul = false
+    var lineBytes = 0L
+    var tooLong = false
+    var depth = 0
+    var maxDepth = 0
+    while (i < n) {
+      val cp = content.codePointAt(i)
+      val w = Character.charCount(cp)
+      val bl =
+        if (cp < 0x80) 1 else if (cp < 0x800) 2
+        else if (cp < 0x10000) 3 else 4
+      if (bytePos < 8192) {
+        if (cp == 0) sawNul = true
+        else if (cp < 32 && cp != '\t' && cp != '\n' && cp != '\r') nonText += 1
       }
-      i += 1
-    }
-    var depth = 0; var maxDepth = 0
-    i = 0
-    while (i < bytes.length) {
-      (bytes(i): @annotation.switch) match {
+      if (cp == '\n') lineBytes = 0
+      else {
+        lineBytes += bl
+        if (lineBytes > MaxSafeLineLength) tooLong = true
+      }
+      (cp: @annotation.switch) match {
         case '{' | '(' | '[' =>
           depth += 1; if (depth > maxDepth) maxDepth = depth
         case '}' | ')' | ']' =>
           if (depth > 0) depth -= 1
         case _ =>
       }
-      i += 1
+      bytePos += bl
+      i += w
     }
-    if (maxDepth > MaxNestingDepth) Some("deep-nesting") else None
+    val checkLen = math.min(bytePos, 8192L)
+    // same reason precedence as the reference: binary, long-line, nesting
+    if (sawNul || (checkLen > 0 && nonText > checkLen / 10)) Some("binary")
+    else if (tooLong) Some("long-line")
+    else if (maxDepth > MaxNestingDepth) Some("deep-nesting")
+    else None
   }
 
   def isSafe(content: String): Boolean = contentSafetyCheck(content).isEmpty

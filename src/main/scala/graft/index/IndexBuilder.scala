@@ -188,10 +188,17 @@ object IndexBuilder {
       blockBits: Int = PostingBlocks.DefaultBlockBits,
       numBuckets: Int = -1,
       quantizeImpacts: Boolean = false): BuiltIndex = {
-    // S5: content safety gate (content_safety_check, utils.rs:174-211)
-    val docsClean = pagesDf
+    // S5: content safety gate (content_safety_check, utils.rs:174-211).
+    // The extracted+filtered pages materialize ONCE: extraction (charset
+    // decode) and the safety scan are the most expensive per-byte work in
+    // the build, and every downstream consumer (tf pass, docs dimension,
+    // line-level serving) would otherwise re-run them — at corpus scale
+    // that is a second full scan of the input.
+    pagesDf
       .select(col("doc_id"), col("url"), col("text"))
       .where(Extract.safe(col("text")))
+      .write.mode("overwrite").parquet(s"$outDir/pages")
+    val docsClean = spark.read.parquet(s"$outDir/pages")
 
     val tf = termFrequencies(docsClean)
     tf.write.mode("overwrite").parquet(s"$outDir/tf")
