@@ -19,7 +19,7 @@ case class IndexStats(
   *   {path}/docs      (doc_id, url, doc_len)           — per-doc metadata
   *   {path}/terms     (term_id, term, df, idf)         — term dictionary
   *   {path}/postings  (term_id, doc_id, tf, impact)    — uncompressed rows
-  *   {path}/blocks    (term_id, block_id, n, docs_enc, tfs_enc,
+  *   {path}/blocks    (term_id, block_id, n, docs_enc,
   *                     impacts_enc, block_max)         — production artifact
   *   {path}/stats     single IndexStats row
   *
@@ -74,7 +74,7 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $t (
            |  term_id BIGINT, block_id BIGINT, n INT,
-           |  docs_enc BINARY, tfs_enc BINARY, impacts_enc BINARY,
+           |  docs_enc BINARY, impacts_enc BINARY,
            |  block_max DOUBLE)
            |USING PARQUET
            |CLUSTERED BY (block_id) SORTED BY (term_id, block_id)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * generated deserializer can construct it).
   */
 case class PostingRowIn(
-    term_id: Long, doc_id: Long, tf: Int, impact: Double, block_id: Long)
+    term_id: Long, doc_id: Long, impact: Double, block_id: Long)
 
 /** Encoded posting block: all postings of one term whose docIds fall in one
   * fixed docId range (block_id = docId >> blockBits).
@@ -25,7 +25,6 @@ case class PostingBlock(
     block_id: Long,
     n: Int,
     docs_enc: Array[Byte],
-    tfs_enc: Array[Byte],
     impacts_enc: Array[Byte],
     block_max: Double)
 
@@ -54,8 +53,11 @@ object PostingBlocks {
       .withColumn("block_id", shiftright(col("doc_id"), blockBits))
       .repartition(col("term_id"), col("block_id"))
       .sortWithinPartitions("term_id", "block_id", "doc_id")
-      .select(col("term_id"), col("doc_id"), col("tf").cast("int").as("tf"),
-        col("impact"), col("block_id"))
+      // the serving artifact carries docIds + impacts only: tf is never
+      // read at query time (impacts subsume it at fixed k1/b) and lives in
+      // the tf/postings tables for rebuilds — one byte/posting saved in
+      // the shuffle, the files and the hot cache
+      .select(col("term_id"), col("doc_id"), col("impact"), col("block_id"))
       .as[PostingRowIn]
       .mapPartitions(it => encodePartition(it, q8))
   }
@@ -76,7 +78,6 @@ object PostingBlocks {
         val block = pending.block_id
         var cap = 64
         var docs = new Array[Long](cap)
-        var tfs = new Array[Int](cap)
         var imps = new Array[Double](cap)
         var n = 0
         var blockMax = Double.NegativeInfinity
@@ -85,10 +86,9 @@ object PostingBlocks {
           if (n == cap) {
             cap *= 2
             docs = java.util.Arrays.copyOf(docs, cap)
-            tfs = java.util.Arrays.copyOf(tfs, cap)
             imps = java.util.Arrays.copyOf(imps, cap)
           }
-          docs(n) = r.doc_id; tfs(n) = r.tf; imps(n) = r.impact
+          docs(n) = r.doc_id; imps(n) = r.impact
           if (r.impact > blockMax) blockMax = r.impact
           n += 1
           r = if (it.hasNext) it.next() else null
@@ -97,7 +97,6 @@ object PostingBlocks {
         val impArr = java.util.Arrays.copyOf(imps, n)
         PostingBlock(term, block, n,
           PostingCodec.encodeDocIds(java.util.Arrays.copyOf(docs, n)),
-          PostingCodec.encodeTfs(java.util.Arrays.copyOf(tfs, n)),
           if (q8) PostingCodec.encodeImpactsQ8(impArr)
           else PostingCodec.encodeImpacts(impArr),
           blockMax)
