@@ -23,10 +23,11 @@ case class IndexStats(
   *                     impacts_enc, block_max)         — production artifact
   *   {path}/stats     single IndexStats row
   *
-  * Both postings and blocks are range-partitioned + sorted by term_id so a
-  * query's `term_id IN (...)` filter prunes parquet row groups (min/max
-  * stats) — the distributed analog of the reference's hash lookup
-  * (/root/reference/src/index/trigram.rs:130-145).
+  * postings/terms/docs are sorted within files (term_id / term / doc_id)
+  * so the query-side `IN (...)` filters prune parquet row groups via
+  * min/max stats — the distributed analog of the reference's hash lookup
+  * (/root/reference/src/index/trigram.rs:130-145) — and blocks are
+  * additionally BUCKETED by block_id (see [[blocks]]).
   */
 class BuiltIndex(val spark: SparkSession, val path: String) {
   lazy val docs: DataFrame = spark.read.parquet(s"$path/docs")
