@@ -6,9 +6,75 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one warm session, every SparkEntry query timed
   * once (the index build for the BM25 queries is timed separately as
-  * `index_build`). Prints exactly ONE JSON line.
+  * `index_build`). Prints exactly ONE JSON line with a per-query and a
+  * per-query-class breakdown; a failed query is reported by its exception
+  * string under "errors" (never as a fake small/negative time — the
+  * round-over-round signal must not hide breakage as speed).
   */
 object Bench {
+
+  /** Workload class per gate query, so regressions localize to the query
+    * family (the reference validator's load-test reports per-class QPS the
+    * same way, fast_code_search_validator.rs:692-810).
+    */
+  val QueryClass: Map[String, String] = Map(
+    "index_build" -> "build",
+    // BM25 serving paths
+    "k1_bm25_topk_and" -> "conjunctive",
+    "j1_conjunctive" -> "conjunctive",
+    "p5_filtered_search" -> "conjunctive",
+    "p5_filtered_blocks" -> "conjunctive",
+    "k3_boosted_topk" -> "conjunctive",
+    "k1_bm25_topk_or" -> "disjunctive",
+    "p4_short_query" -> "disjunctive",
+    "p7_line_matches" -> "serving_lines",
+    "p7_substring_pos" -> "needle",
+    "p8_snippet" -> "needle",
+    "p3_regex_accel" -> "regex",
+    "p3_regex_fullscan" -> "regex",
+    // index/aggregate derivations
+    "a1_postings" -> "agg",
+    "a6_doclen" -> "agg",
+    "a5_corpus_stats" -> "agg",
+    "a4_term_idf" -> "agg",
+    "a8_percentiles" -> "agg",
+    "a3_indegree" -> "agg",
+    "w1_top_per_source" -> "agg",
+    "st_windowed_events" -> "agg",
+    // dedup family
+    "u3_dedup_exact" -> "dedup",
+    "dedup_jaccard_pairs" -> "dedup",
+    "dedup_minhash" -> "dedup",
+    "dedup_simhash" -> "dedup",
+    "txt_fingerprint" -> "dedup",
+    // similarity family
+    "sim_cosine_topk" -> "similarity",
+    "sim_ivf_topk" -> "similarity",
+    "sim_lsh_neardups" -> "similarity",
+    // text analysis
+    "txt_quality" -> "text",
+    "txt_langid" -> "text",
+    "s5_safety_filter" -> "text",
+    "w2_fast_rank" -> "text",
+    "mm_features" -> "text",
+    // dependency graph
+    "j2_resolve" -> "graph",
+    "a3_edges_indegree" -> "graph",
+    "j4_dependents" -> "graph",
+    // symbols
+    "sym_extract" -> "symbols",
+    "sym_search" -> "symbols",
+    // set ops
+    "u2_except" -> "setops")
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,6 +89,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val results = LinkedHashMap.empty[String, Double]
+    val errors = LinkedHashMap.empty[String, String]
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -31,14 +98,26 @@ object Bench {
     results += "index_build" -> time(SparkEntry.warmIndex(spark, sfDir))
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results += name -> (try time(fn(spark, sfDir).count())
-        catch { case _: Throwable => -1.0 })
+      try results += name -> time(fn(spark, sfDir).count())
+      catch {
+        case e: Throwable =>
+          errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }
+    val qs = results.map { case (k, v) => jsonStr(k) + f":${v}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val classTotals = LinkedHashMap.empty[String, Double]
+    results.foreach { case (k, v) =>
+      val c = QueryClass.getOrElse(k, "other")
+      classTotals += c -> (classTotals.getOrElse(c, 0.0) + v)
+    }
+    val cs = classTotals.map { case (k, v) => jsonStr(k) + f":${v}%.3f" }
+      .mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"classes":$cs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

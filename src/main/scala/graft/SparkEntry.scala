@@ -120,6 +120,15 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
 
+    // same filtered query through the PRODUCTION block path: the allowed
+    // doc set is broadcast into the WAND merge (no naive fallback)
+    "p5_filtered_blocks" -> ((s, dir) => {
+      val allowed = documents(s, dir).where(col("lang") === "en").select("doc_id")
+      Bm25Query.searchBlocksFiltered(indexFor(s, dir), "data join", 10,
+        conjunctive = true, allowed).toDF()
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
     // --- window / percentile analogs (W1, A8) ---
     "w1_top_per_source" -> ((s, dir) => {
       val w = Window.partitionBy("source")
@@ -510,6 +519,9 @@ object SparkEntry {
       bm25Sql(Seq("vector", "stream"), conjunctive = false, k = 20),
 
     "p5_filtered_search" ->
+      bm25Sql(Seq("data", "join"), conjunctive = true, k = 10, langFilter = Some("en")),
+
+    "p5_filtered_blocks" ->
       bm25Sql(Seq("data", "join"), conjunctive = true, k = 10, langFilter = Some("en")),
 
     "w1_top_per_source" ->

@@ -92,18 +92,83 @@ object CheckpointedBuild {
       (lo + p * width, if (p == slices - 1) hi + 1 else lo + (p + 1) * width)
 
     // cheap per-slice input fingerprint over the RAW columns (no
-    // extraction): order-independent XOR of per-row hashes — the analog of
-    // the reference's (mtime, size) staleness key (persistence.rs:249-264)
+    // extraction): order-independent SUM (mod 2^64) of per-row hashes —
+    // the analog of the reference's (mtime, size) staleness key
+    // (persistence.rs:249-264). doc_id is part of the per-row hash
+    // (swapping content between two doc_ids must change the fingerprint),
+    // and the combiner is a sum, not xor (a pair of identical rows xor to
+    // zero and would cancel; sums only collide if hash values themselves
+    // collide additively). Decimal(38,0) accumulates exactly to ~1e19
+    // rows/slice; the driver folds it to 64 bits.
     val fpColumn =
-      if (hasHtml) xxhash64(col("url"), col("html"))
-      else xxhash64(col("url"), col("text"))
+      if (hasHtml) xxhash64(col("doc_id"), col("url"), col("html"))
+      else xxhash64(col("doc_id"), col("url"), col("text"))
     def sliceFingerprint(p: Int): String = {
       val (sLo, sHi) = sliceRange(p)
       val r = pagesRaw
         .where(col("doc_id") >= sLo && col("doc_id") < sHi)
-        .agg(bit_xor(fpColumn)).head()
-      if (r.isNullAt(0)) "empty" else java.lang.Long.toHexString(r.getLong(0))
+        .agg(sum(fpColumn.cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) "empty"
+      else {
+        val m = BigInt(2).pow(64)
+        val v = (BigInt(r.getDecimal(0).toBigInteger).mod(m) + m).mod(m)
+        v.toString(16)
+      }
     }
+
+    // ---- config fingerprint (reference: config.rs:266-296): a resume
+    // whose build config differs from the one the committed units were
+    // produced under must invalidate exactly the stages that config
+    // component derives — a changed blockBits silently keeping the old
+    // committed blocks was round 2's known staleness hole.
+    val config = Seq(
+      "tok" -> graft.tokenize.Tokenizer.Version.toString,
+      "extract" -> Extract.Version.toString,
+      "bm25" -> s"${Bm25.K1},${Bm25.B}",
+      "blockBits" -> blockBits.toString)
+    val configStr = config.map { case (k, v) => s"$k=$v" }.mkString(";")
+    val priorConfig: Map[String, String] =
+      try {
+        spark.read.parquet(s"$outDir/manifest/config_0").head()
+          .getAs[String]("lineage").split(';')
+          .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+          .toMap
+      } catch { case _: Throwable => Map.empty }
+    if (priorConfig.nonEmpty && priorConfig != config.toMap) {
+      def derivedStages(key: String): Seq[String] = key match {
+        case "blockBits" => Seq("blocks")
+        case "bm25"      => Seq("terms", "postings", "blocks", "stats")
+        case _           => Seq("tf", "docs", "terms", "postings", "blocks", "stats")
+      }
+      val changed = (config.map(_._1) ++ priorConfig.keys).distinct
+        .filter(k => priorConfig.get(k) != config.toMap.get(k))
+      val victims = changed.flatMap(derivedStages).distinct
+      victims.foreach {
+        case "tf" =>
+          rmrf(spark, s"$outDir/tf"); rmrf(spark, s"$outDir/docs_raw")
+          val mdir = Paths.get(s"$outDir/manifest")
+          if (Files.isDirectory(mdir)) {
+            val it = Files.list(mdir).iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              if (e.getFileName.toString.startsWith("tf_"))
+                rmrf(spark, e.toString)
+            }
+          }
+        case st =>
+          rmrf(spark, s"$outDir/$st")
+          if (st == "blocks") rmrf(spark, s"$outDir/blocks_meta")
+          rmrf(spark, s"$outDir/manifest/${st}_0")
+      }
+      Seq(ManifestRow("config_reconcile", 0, victims.size, 0,
+        s"changed=${changed.mkString(",")} invalidated=${victims.mkString(",")}",
+        System.currentTimeMillis())).toDS()
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$outDir/manifest/config_reconcile_0")
+    }
+    Seq(ManifestRow("config", 0, 0, 0, configStr, System.currentTimeMillis()))
+      .toDS().write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/manifest/config_0")
 
     // ---- reconcile (resume with possibly-changed input): triage each
     // persisted slice Valid / Stale / Removed like the reference's

@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions.udf
   */
 object Extract {
 
+  /** Bumped whenever extraction/safety semantics change — part of the
+    * checkpoint config fingerprint (see CheckpointedBuild).
+    */
+  val Version = 1
+
   // decoders are reused per thread — a fresh CharsetDecoder per row was
   // measurable allocation/GC pressure in the extraction stage, which is
   // memory-bandwidth-bound on this box (the convenience decode() resets

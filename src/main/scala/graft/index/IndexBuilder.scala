@@ -111,15 +111,26 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
     * (trigram.rs:63-71); at 10^9+ terms keep the pruned parquet lookup
     * (terms files are sorted by term, so the pushed In(term) filter reads
     * a handful of row groups) or shard the dictionary.
+    *
+    * Driver budget: each entry is roughly 150-200 bytes on-heap (String
+    * key + boxed tuple + HashMap node), so the 5M default is ~1 GB — safe
+    * inside a default 16g driver. Web-scale vocabularies (1e8-1e9 terms)
+    * exceed any driver heap and must stay on the pruned parquet path;
+    * the previous 50M default was a driver OOM waiting to happen.
     */
   @volatile private var hotDict: Map[String, (Long, Long, Double)] = null
 
-  def cacheDictionary(maxTerms: Long = 50000000L): this.type = {
+  def cacheDictionary(maxTerms: Long = BuiltIndex.DefaultMaxDriverTerms): this.type = {
     if (stats.num_terms <= maxTerms) {
       import spark.implicits._
       hotDict = terms.select("term", "term_id", "df", "idf")
         .as[(String, Long, Long, Double)].collect()
         .map { case (t, id, df, idf) => t -> ((id, df, idf)) }.toMap
+    } else {
+      BuiltIndex.log.info(
+        s"dictionary has ${stats.num_terms} terms > maxTerms=$maxTerms; " +
+        "query analysis stays on the pruned parquet path (sorted terms " +
+        "files, pushed In(term) filter)")
     }
     this
   }
@@ -135,6 +146,14 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
 }
 
 object BuiltIndex {
+  /** Default cap for the driver-resident dictionary (~1 GB on-heap at
+    * ~200 bytes/entry — see [[BuiltIndex.cacheDictionary]]).
+    */
+  val DefaultMaxDriverTerms = 5000000L
+
+  private[index] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[BuiltIndex])
+
   /** Session-catalog name for the bucketed blocks table at `path` (stable
     * across sessions so a load re-registers the same table).
     */

@@ -134,10 +134,13 @@ object Bm25Query {
   private def restrict(index: BuiltIndex, scored: DataFrame,
       include: Seq[String], exclude: Seq[String]): DataFrame =
     if (include.isEmpty && exclude.isEmpty) scored
-    else scored.join(
+    else restrictDf(scored,
       index.docs.where(PathFilter.predicate(col("url"), include, exclude))
-        .select("doc_id"),
-      Seq("doc_id"), "left_semi")
+        .select("doc_id"))
+
+  /** Same restriction from an arbitrary allowed-doc set (doc_id column). */
+  private def restrictDf(scored: DataFrame, allowedDocs: DataFrame): DataFrame =
+    scored.join(allowedDocs.select("doc_id"), Seq("doc_id"), "left_semi")
 
   def searchNaive(index: BuiltIndex, query: String, k: Int,
       conjunctive: Boolean = true,
@@ -165,12 +168,16 @@ object Bm25Query {
     * exists).
     */
   private def allDocsFallback(index: BuiltIndex, k: Int,
-      include: Seq[String], exclude: Seq[String]): Dataset[Hit] = {
+      include: Seq[String], exclude: Seq[String],
+      allowedDocs: DataFrame = null): Dataset[Hit] = {
     val spark = index.spark
     import spark.implicits._
-    val base =
+    val globbed =
       if (include.isEmpty && exclude.isEmpty) index.docs
       else index.docs.where(PathFilter.predicate(col("url"), include, exclude))
+    val base =
+      if (allowedDocs == null) globbed
+      else globbed.join(allowedDocs.select("doc_id"), Seq("doc_id"), "left_semi")
     val top = base.orderBy(col("doc_id").asc).limit(k)
       .select("doc_id", "url").as[(Long, String)].collect()
     spark.createDataset(top.zipWithIndex.map { case ((d, u), i) =>
@@ -227,9 +234,18 @@ object Bm25Query {
       return spark.createDataset(top.map(h =>
         LineHit(h.doc_id, h.url, h.score, h.rank, 0, 0, 0, "")).toIndexedSeq)
     }
+    // Late materialization MUST hold in the physical plan, not just the
+    // scaladoc: the In(doc_id) filter sits BELOW the posexplode so the
+    // content scan reads only the k hit docs (pushed to the parquet scan;
+    // PLANS.md plan 6). Joining the generator output instead would explode
+    // every line of the whole corpus to serve k hits — a full-corpus scan
+    // per interactive query at 100x scale.
+    val topIds = top.map(_.doc_id)
     val lines = hitDf
-      .join(pagesText.select(col("doc_id"),
-        posexplode(split(col("text"), "\n")).as(Seq("ln0", "line"))), Seq("doc_id"))
+      .join(pagesText
+        .where(col("doc_id").isin(topIds: _*))
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("ln0", "line"))), Seq("doc_id"))
     // earliest occurrence of any term in the line (struct orders by
     // position first; ties prefer the shorter term), null = no match
     val lenByPos = terms.map(t => when(instr(lower(col("line")), t) > 0,
@@ -267,12 +283,21 @@ object Bm25Query {
     */
   val AdaptiveCandidateThreshold = 5000L
 
+  /** Doc-filter pushed into the block merge: a SORTED doc_id set shipped
+    * to the merge tasks, `isAllow` selecting allow-list vs deny-list
+    * semantics. Docs failing the filter are dropped BEFORE they can enter
+    * a per-partition heap or move its threshold — so the filtered top-k
+    * stays exact.
+    */
+  private[query] case class DocFilter(sorted: Array[Long], isAllow: Boolean)
+
   /** (doc_id, score) of per-partition survivors (superset of global top-k),
     * or None on short-circuit.
     */
   def scoredBlocks(index: BuiltIndex, query: String, k: Int,
       conjunctive: Boolean,
-      adaptiveThreshold: Long = AdaptiveCandidateThreshold): Option[DataFrame] = {
+      adaptiveThreshold: Long = AdaptiveCandidateThreshold,
+      docFilter: Option[DocFilter] = None): Option[DataFrame] = {
     val spark = index.spark
     import spark.implicits._
     val a = analyze(index, query)
@@ -289,9 +314,12 @@ object Bm25Query {
     // ranges, so the k-th largest L over groups lower-bounds the global
     // k-th best score, and any group with upper bound Σ block_max < that
     // is skipped before decode. Sound only for OR mode: under conjunctive
-    // semantics the block-max doc may lack the other required terms.
+    // semantics the block-max doc may lack the other required terms — and
+    // only UNFILTERED: with a doc filter the block-max doc may be filtered
+    // out, so L(g) would overestimate the attainable filtered score.
     val initThreshold: Double =
-      if (!conjunctive && a.terms.map(_.df).sum > adaptiveThreshold) {
+      if (!conjunctive && docFilter.isEmpty &&
+          a.terms.map(_.df).sum > adaptiveThreshold) {
         val lows = index.blocks
           .where(col("term_id").isin(qids: _*))
           .groupBy("block_id").agg(max("block_max").as("l"))
@@ -315,10 +343,19 @@ object Bm25Query {
       if (index.blocksBucketed) rows
       else rows.repartition(col("block_id"))
     val q8 = index.impactCodec == "q8"
+    // ship the filter set ONCE per executor (torrent broadcast), not once
+    // per task in the closure
+    val bcFilter = docFilter
+      .map(f => (spark.sparkContext.broadcast(f.sorted), f.isAllow))
+      .orNull
     val candidates = coLocated
       .sortWithinPartitions(col("block_id"), col("term_id"))
       .mapPartitions { it =>
-        processPartition(it, nTerms, kk, conjunctive, initThreshold, q8)
+        val (fArr, fAllow) =
+          if (bcFilter == null) (null: Array[Long], true)
+          else (bcFilter._1.value, bcFilter._2)
+        processPartition(it, nTerms, kk, conjunctive, initThreshold, q8,
+          fArr, fAllow)
       }(org.apache.spark.sql.Encoders.product[(Long, Double)])
       .toDF("doc_id", "score")
     Some(candidates)
@@ -330,10 +367,17 @@ object Bm25Query {
   private def processPartition(it: Iterator[BlockRow], nTerms: Int, k: Int,
       conjunctive: Boolean,
       initThreshold: Double = Double.NegativeInfinity,
-      q8: Boolean = false): Iterator[(Long, Double)] = {
+      q8: Boolean = false,
+      filterSorted: Array[Long] = null,
+      filterIsAllow: Boolean = true): Iterator[(Long, Double)] = {
     @inline def decodeImp(bytes: Array[Byte], n: Int): Array[Double] =
       if (q8) PostingCodec.decodeImpactsQ8(bytes, n)
       else PostingCodec.decodeImpacts(bytes, n)
+    // P5 pushed into the merge: a filtered-out doc never reaches a heap,
+    // so heap thresholds are thresholds over the FILTERED doc set (exact)
+    @inline def allowed(doc: Long): Boolean =
+      filterSorted == null ||
+      (java.util.Arrays.binarySearch(filterSorted, doc) >= 0) == filterIsAllow
     // local top-k heap: head = current worst survivor
     val worstFirst: Ordering[(Long, Double)] = (a, b) => {
       val c = java.lang.Double.compare(b._2, a._2)
@@ -395,7 +439,7 @@ object Bm25Query {
             ok = p < arr.length && arr(p) == doc
             oi += 1
           }
-          if (ok) {
+          if (ok && allowed(doc)) {
             // sum in ascending term_id order (= group order)
             var score = 0.0
             var ti = 0
@@ -419,7 +463,8 @@ object Bm25Query {
           val is = decodeImp(r.impacts_enc, r.n)
           var i = 0
           while (i < ds.length) {
-            acc.update(ds(i), acc.getOrElse(ds(i), 0.0) + is(i))
+            if (allowed(ds(i)))
+              acc.update(ds(i), acc.getOrElse(ds(i), 0.0) + is(i))
             i += 1
           }
           gi += 1
@@ -445,24 +490,83 @@ object Bm25Query {
     }
   }
 
+  /** Max doc_ids shipped to the merge as a broadcast filter set (sorted
+    * longs: 8 bytes/doc, so the default is a ~32 MB broadcast — executor
+    * plural-MBs, the standard broadcast-join budget). When BOTH the allow
+    * set and its complement exceed this, the query falls back to the
+    * declarative path (exact, pays a shuffle) — the remaining scale story
+    * there is a per-block_id bitmap co-partitioned with the bucketed
+    * blocks, which this ceiling makes a non-goal until a workload hits it.
+    */
+  val MaxBroadcastFilterDocs: Long = 4000000L
+
   def searchBlocks(index: BuiltIndex, query: String, k: Int,
       conjunctive: Boolean = true,
       include: Seq[String] = Nil, exclude: Seq[String] = Nil,
       adaptiveThreshold: Long = AdaptiveCandidateThreshold): Dataset[Hit] = {
     val kk = clampK(k)
-    if (isShortQuery(query))
-      return allDocsFallback(index, kk, include, exclude)
-    if (include.nonEmpty || exclude.nonEmpty) {
-      // A url filter must apply BEFORE top-k pruning to stay exact (the
-      // per-partition heaps would otherwise fill with filtered-out docs),
-      // so filtered queries take the exact declarative path. Pushing the
-      // allowed-doc set into the block merge is the scale path if filters
-      // ever dominate the workload.
-      return searchNaive(index, query, kk, conjunctive, include, exclude)
+    if (include.isEmpty && exclude.isEmpty) {
+      if (isShortQuery(query)) return allDocsFallback(index, kk, Nil, Nil)
+      return scoredBlocks(index, query, kk, conjunctive, adaptiveThreshold) match {
+        case None => emptyHits(index.spark)
+        case Some(scored) => finish(index, scored, kk)
+      }
     }
-    scoredBlocks(index, query, kk, conjunctive, adaptiveThreshold) match {
-      case None => emptyHits(index.spark)
-      case Some(scored) => finish(index, scored, kk)
+    // P5 filter on the PRODUCTION path (reference filters the candidate
+    // set, engine.rs:1464-1472): resolve the url globs against the docs
+    // dimension once, then push the doc set into the block merge.
+    val allowedDf = index.docs
+      .where(PathFilter.predicate(col("url"), include, exclude))
+      .select("doc_id")
+    searchBlocksFiltered(index, query, kk, conjunctive, allowedDf,
+      adaptiveThreshold)
+  }
+
+  /** Block-path search restricted to an arbitrary allowed-doc set. The
+    * filter applies BEFORE top-k pruning (docs outside the set never enter
+    * a partition heap or move its threshold), so results are the exact
+    * top-k of the allowed subset. The set ships as a broadcast of whichever
+    * side is smaller — the allow list or its complement; if both exceed
+    * [[MaxBroadcastFilterDocs]] the query takes the declarative path.
+    */
+  def searchBlocksFiltered(index: BuiltIndex, query: String, k: Int,
+      conjunctive: Boolean, allowedDocs: DataFrame,
+      adaptiveThreshold: Long = AdaptiveCandidateThreshold,
+      maxBroadcastDocs: Long = MaxBroadcastFilterDocs): Dataset[Hit] = {
+    val spark = index.spark
+    import spark.implicits._
+    val kk = clampK(k)
+    if (isShortQuery(query))
+      return allDocsFallback(index, kk, Nil, Nil, allowedDocs)
+    val allowedIds = allowedDocs.select(col("doc_id").cast("long"))
+    val nAllowed = allowedIds.count()
+    if (nAllowed == 0) return emptyHits(spark)
+    val filter: Option[DocFilter] =
+      if (nAllowed <= maxBroadcastDocs) {
+        val arr = allowedIds.as[Long].collect()
+        java.util.Arrays.sort(arr)
+        Some(DocFilter(arr, isAllow = true))
+      } else if (index.stats.num_docs - nAllowed <= maxBroadcastDocs) {
+        // dense filter: ship the complement as a deny list
+        val arr = index.docs.select(col("doc_id"))
+          .join(allowedIds, Seq("doc_id"), "left_anti")
+          .as[Long].collect()
+        java.util.Arrays.sort(arr)
+        Some(DocFilter(arr, isAllow = false))
+      } else None
+    filter match {
+      case Some(f) =>
+        scoredBlocks(index, query, kk, conjunctive, adaptiveThreshold,
+          Some(f)) match {
+          case None => emptyHits(spark)
+          case Some(scored) => finish(index, scored, kk)
+        }
+      case None =>
+        // both sides too large to broadcast: exact declarative fallback
+        scoredNaive(index, query, conjunctive) match {
+          case None => emptyHits(spark)
+          case Some(scored) => finish(index, restrictDf(scored, allowedIds.toDF("doc_id")), kk)
+        }
     }
   }
 }

@@ -50,7 +50,7 @@ object RegexQuery {
       // shape of regex_search.rs for complex patterns)
       return Nil
     }
-    val out = Seq.newBuilder[Lit]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Lit]
     val n = pattern.length
     var i = 0
     // pattern start is NOT a token boundary: an unanchored regex can match
@@ -117,6 +117,16 @@ object RegexQuery {
         // zero-allowed quantifier: the previous unit may be absent -> its
         // contribution and the boundary after it are unknown
         if (cur.nonEmpty) { deleteLastCodePoint(); flush(false) }
+        else if (out.nonEmpty) {
+          // the quantified unit is the SEPARATOR that just flushed (e.g.
+          // 'data\s*join'): \s* can match empty, so the right boundary it
+          // granted the preceding literal is void — 'datajoin' is a true
+          // match and must survive the prefilter. (Conservative when an
+          // earlier separator in the run was unquantified, or the brace
+          // min is >= 1 — a weaker prefilter, never an unsound one.)
+          val last = out.length - 1
+          out(last) = out(last).copy(rightBound = false)
+        }
         leftB = false
         if (c == '{') { while (i < n && pattern(i) != '}') i += 1 }
         i += 1
@@ -147,7 +157,7 @@ object RegexQuery {
     }
     // pattern end is NOT a boundary (can match mid-token) unless anchored
     flush(false)
-    out.result().distinct
+    out.toSeq.distinct
   }
 
   /** Exact complete tokens only (both sides bounded) — the strongest

@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Tokenizer {
 
+  /** Bumped whenever token semantics change — part of the checkpoint
+    * config fingerprint (a resumed build must not mix token streams from
+    * two tokenizer versions; reference: config.rs:266-296).
+    */
+  val Version = 1
+
   /** Rust `char::is_alphanumeric` = Alphabetic | Nd | Nl | No. The closest
     * JVM predicate (and the one Java regex `[\p{L}\p{N}]` uses) is
     * letter-categories | Nd | Nl | No. Differences are confined to exotic

@@ -127,13 +127,57 @@ class CheckpointSpec extends AnyFunSuite {
     assert(hits.map(_.doc_id).toSeq == Seq(123L))
   }
 
+  test("resume with changed blockBits invalidates blocks, not tf slices") {
+    val dirA = Files.createTempDirectory("graft-ckpt-cfg-a").toString
+    val dirC = Files.createTempDirectory("graft-ckpt-cfg-c").toString
+    val raw = PagesCorpus.pages(spark, n, parts = 4).toDF()
+    CheckpointedBuild.build(spark, raw, dirA, slices = 4, blockBits = 8)
+    val before = CheckpointedBuild.manifest(spark, dirA)
+      .collect().map(r =>
+        (r.getAs[String]("stage"), r.getAs[Int]("part")) ->
+          r.getAs[Long]("committed_at")).toMap
+
+    // resume with a DIFFERENT block geometry; fresh build = ground truth
+    val idxA = CheckpointedBuild.build(spark, raw, dirA, slices = 4, blockBits = 6)
+    val idxC = CheckpointedBuild.build(spark, raw, dirC, slices = 4, blockBits = 6)
+
+    val after = CheckpointedBuild.manifest(spark, dirA)
+      .collect().map(r =>
+        (r.getAs[String]("stage"), r.getAs[Int]("part")) ->
+          r.getAs[Long]("committed_at")).toMap
+    // blocks rebuilt; tf/docs/terms/postings untouched
+    assert(after(("blocks", 0)) != before(("blocks", 0)),
+      "blocks must be rebuilt under the new blockBits")
+    (0 until 4).foreach(p => assert(after(("tf", p)) == before(("tf", p)),
+      s"tf slice $p must not be recomputed on a blockBits-only change"))
+    Seq("docs", "terms", "postings", "stats").foreach(st =>
+      assert(after((st, 0)) == before((st, 0)), s"$st must not be recomputed"))
+    // config_reconcile row records the invalidation
+    val cr = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "config_reconcile").collect()
+    assert(cr.length == 1)
+    assert(cr.head.getAs[String]("lineage").contains("blockBits"))
+
+    // rebuilt blocks == from-scratch blocks at the new geometry
+    def canon(path: String, table: String, cols: Seq[String]): Seq[String] =
+      spark.read.parquet(s"$path/$table").select(cols.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(dirA, "blocks", Seq("term_id", "block_id", "n", "block_max")) ==
+      canon(dirC, "blocks", Seq("term_id", "block_id", "n", "block_max")))
+    assert(idxA.blocksMeta == idxC.blocksMeta)
+    val q = PagesCorpus.vocab(2)
+    assert(Bm25Query.searchBlocks(idxA, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq ==
+      Bm25Query.searchBlocks(idxC, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq)
+  }
+
   test("manifest carries lineage and metrics per unit") {
     val dir = Files.createTempDirectory("graft-ckpt-m").toString
     CheckpointedBuild.build(spark, PagesCorpus.pages(spark, 100L, parts = 2).toDF(),
       dir, slices = 2)
     val m = CheckpointedBuild.manifest(spark, dir).collect()
     val stages = m.map(_.getAs[String]("stage")).toSet
-    assert(stages == Set("tf", "docs", "terms", "postings", "blocks", "stats"))
+    assert(stages ==
+      Set("config", "tf", "docs", "terms", "postings", "blocks", "stats"))
     m.foreach { r =>
       assert(r.getAs[Long]("rows") >= 0)
       assert(r.getAs[String]("lineage").nonEmpty)

@@ -53,6 +53,18 @@ class RegexQuerySpec extends AnyFunSuite {
     // case-insensitivity: literals lowercased, metachars untouched
     assert(RegexQuery.requiredLiterals(" SPARK ") ==
       Seq(Lit("spark", true, true)))
+    // zero-allowed quantifier on a SEPARATOR voids the boundary it granted
+    // the preceding literal: \s* matches empty, so 'datajoin' is a true
+    // match of 'data\s*join' and 'data' must not stay right-bounded
+    assert(RegexQuery.requiredLiterals("data\\s*join") ==
+      Seq(Lit("data", false, false), Lit("join", false, false)))
+    assert(RegexQuery.requiredLiterals("data\\s?join") ==
+      Seq(Lit("data", false, false), Lit("join", false, false)))
+    assert(RegexQuery.requiredLiterals("data\\s{0,2}join") ==
+      Seq(Lit("data", false, false), Lit("join", false, false)))
+    // unquantified separator keeps the bound ('+' = one-or-more separator)
+    assert(RegexQuery.requiredLiterals("data\\s+join") ==
+      Seq(Lit("data", false, true), Lit("join", true, false)))
   }
 
   test("regex search: accelerated paths == ground truth (incl. mid-token match)") {
@@ -67,7 +79,9 @@ class RegexQuerySpec extends AnyFunSuite {
     val extra = Seq(
       (900000L, "https://x/midtok", "bigdata join rendezvous once more"),
       (900001L, "https://x/exact", "data join rendezvous once more"),
-      (900002L, "https://x/upper", "DATA JOIN rendezvous once more"))
+      (900002L, "https://x/upper", "DATA JOIN rendezvous once more"),
+      // \s* matches empty: a fused token that 'data\s*join' truly matches
+      (900003L, "https://x/fused", "datajoin rendezvous once more"))
       .toDF("doc_id", "url", "text")
     val pages = base.unionByName(extra)
     val idx = IndexBuilder.build(spark, pages, dir, blockBits = 6)
@@ -87,6 +101,13 @@ class RegexQuerySpec extends AnyFunSuite {
     assert(got1 == want1)
     assert(Set(900000L, 900001L, 900002L).subsetOf(got1),
       "mid-token + case-folded matches must survive the prefilter")
+
+    // zero-allowed separator: the fused doc is a true match and must
+    // survive the (now right-unbounded) literal prefilter
+    val p1z = "data\\s*join"
+    val got1z = run(p1z); val want1z = groundTruth(p1z)
+    assert(got1z == want1z)
+    assert(got1z.contains(900003L), "'datajoin' must match 'data\\s*join'")
 
     // fully-bounded accelerated path (literal spaces pin both edges ->
     // conjunctive BM25 prefilter over complete tokens)
