@@ -64,6 +64,7 @@ object Bench {
     // symbols
     "sym_extract" -> "symbols",
     "sym_search" -> "symbols",
+    "sym_search_indexed" -> "symbols",
     // set ops
     "u2_except" -> "setops")
 

@@ -46,6 +46,35 @@ object SparkEntry {
       IndexBuilder.build(s, pages, out).cacheHot().cacheDictionary()
     })
 
+  /** DuckDB twin of the symbols-search semantics (shared by the scan and
+    * indexed gates — both must produce identical results).
+    */
+  private val SymSearchSql =
+    """WITH l AS (SELECT doc_id,
+      |             unnest(string_split(text, chr(10))) AS line,
+      |             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ln
+      |           FROM documents),
+      |sy AS (SELECT doc_id, ln AS line,
+      |         list_filter(regexp_split_to_array(lower(line), '[^a-z0-9]+'),
+      |                     x -> length(x) > 2)[1] AS name
+      |       FROM l),
+      |mt AS (SELECT doc_id, line,
+      |         CASE WHEN name = 'vector' THEN 2.0 ELSE 1.0 END AS w
+      |       FROM sy WHERE name IS NOT NULL AND contains(name, 'vector'))
+      |SELECT doc_id, round(CAST(sum(w) AS DOUBLE), 4) AS score,
+      |       count(*) AS n_matches, min(line) AS first_line
+      |FROM mt GROUP BY doc_id
+      |ORDER BY sum(w) DESC, doc_id ASC LIMIT 10""".stripMargin
+
+  /** One persisted symbols artifact per sfDir per JVM (see [[indexFor]]). */
+  private val symbolsCache = TrieMap.empty[String, String]
+  private def symbolsFor(s: SparkSession, dir: String): String =
+    symbolsCache.getOrElseUpdate(dir, {
+      val out = Files.createTempDirectory("graft-gate-sym").toString
+      Symbols.build(documents(s, dir), out)
+      out
+    })
+
   private def topkDf(s: SparkSession, dir: String, q: String, k: Int,
       conjunctive: Boolean, blocks: Boolean): DataFrame = {
     val hits =
@@ -78,9 +107,10 @@ object SparkEntry {
       documents(s, dir).where(Extract.safe(col("text"))).select("doc_id")),
 
     "a1_postings" -> ((s, dir) => {
+      // tf lives in the tf intermediate only — the postings/blocks serving
+      // artifacts carry impacts, which subsume tf at fixed BM25 constants
       val idx = indexFor(s, dir)
-      idx.postings
-        .join(idx.terms.select("term_id", "term"), Seq("term_id"))
+      idx.tfRows
         .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"))
     }),
 
@@ -281,6 +311,13 @@ object SparkEntry {
 
     "sym_search" -> ((s, dir) =>
       Symbols.search(Symbols.extract(documents(s, dir)), "vector", 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("n_matches"), col("first_line"))),
+
+    // same query through the PERSISTED artifact: containment resolved on
+    // the names dimension, symbols read with a pushed In(name) filter
+    "sym_search_indexed" -> ((s, dir) =>
+      Symbols.searchIndexed(s, symbolsFor(s, dir), "vector", 10)
         .select(col("doc_id"), round(col("score"), 4).as("score"),
           col("n_matches"), col("first_line"))),
 
@@ -719,22 +756,10 @@ object SparkEntry {
         |       line
         |FROM sy WHERE name IS NOT NULL""".stripMargin,
 
-    "sym_search" ->
-      """WITH l AS (SELECT doc_id,
-        |             unnest(string_split(text, chr(10))) AS line,
-        |             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS ln
-        |           FROM documents),
-        |sy AS (SELECT doc_id, ln AS line,
-        |         list_filter(regexp_split_to_array(lower(line), '[^a-z0-9]+'),
-        |                     x -> length(x) > 2)[1] AS name
-        |       FROM l),
-        |mt AS (SELECT doc_id, line,
-        |         CASE WHEN name = 'vector' THEN 2.0 ELSE 1.0 END AS w
-        |       FROM sy WHERE name IS NOT NULL AND contains(name, 'vector'))
-        |SELECT doc_id, round(CAST(sum(w) AS DOUBLE), 4) AS score,
-        |       count(*) AS n_matches, min(line) AS first_line
-        |FROM mt GROUP BY doc_id
-        |ORDER BY sum(w) DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "sym_search" -> SymSearchSql,
+
+    // identical results contract: the indexed path must equal the scan path
+    "sym_search_indexed" -> SymSearchSql,
 
     "p3_regex_accel" ->
       """SELECT doc_id FROM documents

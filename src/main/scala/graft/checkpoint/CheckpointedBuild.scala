@@ -125,7 +125,10 @@ object CheckpointedBuild {
       "tok" -> graft.tokenize.Tokenizer.Version.toString,
       "extract" -> Extract.Version.toString,
       "bm25" -> s"${Bm25.K1},${Bm25.B}",
-      "blockBits" -> blockBits.toString)
+      "blockBits" -> blockBits.toString,
+      // tf-slice schema version: v2 carries doc_len per row (a resume
+      // must not mix v1 and v2 slices under one parquet scan)
+      "tfSchema" -> "2")
     val configStr = config.map { case (k, v) => s"$k=$v" }.mkString(";")
     val priorConfig: Map[String, String] =
       try {
@@ -232,7 +235,8 @@ object CheckpointedBuild {
         // .count() would re-read the whole unit (wasteful at corpus scale)
         val obs = org.apache.spark.sql.Observation()
         tf.observe(obs, count(lit(1)).as("n"))
-          .write.mode(SaveMode.Overwrite).parquet(dir)
+          .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+          .parquet(dir)
         val docsDir = s"$outDir/docs_raw/slice=$p"
         slice.select("doc_id", "url").write.mode(SaveMode.Overwrite).parquet(docsDir)
         val n = obs.get("n").asInstanceOf[Long]
@@ -250,7 +254,7 @@ object CheckpointedBuild {
     if (!isCommitted(s"$outDir/docs")) {
       val t0 = System.nanoTime()
       val obs = org.apache.spark.sql.Observation()
-      val docLens = tfR.groupBy("doc_id").agg(sum("tf").as("doc_len"))
+      val docLens = tfR.groupBy("doc_id").agg(first("doc_len").as("doc_len"))
       docsRaw.join(docLens, Seq("doc_id"), "left")
         .na.fill(0L, Seq("doc_len"))
         .observe(obs, count(lit(1)).as("n"))
@@ -289,14 +293,24 @@ object CheckpointedBuild {
     if (!isCommitted(s"$outDir/postings")) {
       val t0 = System.nanoTime()
       val obs = org.apache.spark.sql.Observation()
-      tfR.join(docsR.select("doc_id", "doc_len"), Seq("doc_id"))
-        .join(termsR.select("term", "term_id", "idf"), Seq("term"))
-        .select(col("term_id"), col("doc_id"), col("tf"),
+      // doc_len rides on the tf rows (v2 slice schema) -> no doc_id join;
+      // term_id is computed (xxhash64), not joined for, so the idf attach
+      // joins on the 8-byte id — broadcast when the dictionary fits,
+      // making this stage zero-shuffle (see IndexBuilder.buildFromTf)
+      val dict = termsR.select("term_id", "idf")
+      val dictSide =
+        if (termsR.count() <= graft.index.IndexBuilder.DictBroadcastMaxTerms)
+          broadcast(dict)
+        else dict
+      tfR.withColumn("term_id", xxhash64(col("term"))).drop("term")
+        .join(dictSide, Seq("term_id"))
+        .select(col("term_id"), col("doc_id"),
           Bm25.impactCol(col("tf").cast("double"),
             col("doc_len").cast("double"), avgdl, col("idf")).as("impact"))
         .observe(obs, count(lit(1)).as("n"))
         .sortWithinPartitions("term_id", "doc_id")
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/postings")
+        .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+        .parquet(s"$outDir/postings")
       commit(spark, outDir, s"$outDir/postings", ManifestRow("postings", 0,
         obs.get("n").asInstanceOf[Long],
         (System.nanoTime() - t0) / 1000000, "tf+docs+terms", System.currentTimeMillis()))

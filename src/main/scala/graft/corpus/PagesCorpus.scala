@@ -32,7 +32,8 @@ case class Page(
   *     ([[needleDocs]] reproduces the mapping corpus-free, so BM25 scores
   *     are hand-computable);
   *   - html encodings restricted to the deterministic-decode cases of the
-  *     reference transcoder (UTF-8 / UTF-8 BOM / UTF-16LE / UTF-16BE);
+  *     reference transcoder (UTF-8 / UTF-8 BOM / UTF-16LE / UTF-16BE /
+  *     BOM-less ISO-8859-1 with printable-range high bytes);
   *   - a few safety-gate rows (bracket nesting > 500) that
   *     `content_safety_check` must drop.
   */
@@ -149,8 +150,15 @@ object PagesCorpus {
       }
       i += 1
     }
+    // rows on the ISO-8859-1 encoding case (html(), row%20==3) carry a
+    // Latin-1 tail so the fallback branch decodes real high bytes — all
+    // in 0xA0-0xFF, per the deterministic-subset contract (Extract)
+    if (row % 20 == 3) sb.append(Latin1Tail)
     sb.toString
   }
+
+  /** Non-ASCII (0xA0-0xFF only) tail for the Latin-1 encoding case. */
+  val Latin1Tail = " caféresumé münchen nöise"
 
   /** Ground-truth EXTRACTED text (what the transcoder must reproduce
     * byte-identically per url). A BOM'd UTF-8 buffer is itself valid
@@ -175,6 +183,8 @@ object PagesCorpus {
       case 2 => // UTF-8 BOM
         Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
           t.getBytes(StandardCharsets.UTF_8)
+      case 3 => // BOM-less ISO-8859-1 (deterministic chardetng subset)
+        t.getBytes(StandardCharsets.ISO_8859_1)
       case _ => t.getBytes(StandardCharsets.UTF_8)
     }
   }

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions.udf
   *   3. UTF-16LE BOM (FF FE)     -> decode UTF-16LE (BOM consumed)
   *   4. UTF-16BE BOM (FE FF)     -> decode UTF-16BE (BOM consumed)
   *   5. statistical charset guess (chardetng) — NOT reproducible on the
-  *      JVM, so this engine REJECTS instead; the synthetic corpus only
-  *      emits encodings 1-4 (documented restriction, SURVEY.md §7.4).
+  *      JVM; this engine implements its deterministic SUBSET: non-binary
+  *      content whose high bytes are all 0xA0-0xFF decodes as ISO-8859-1,
+  *      anything else (incl. the windows-1252-ish C1 range) is rejected
+  *      rather than guessed (documented restriction, SURVEY.md §7.4).
   *   6. binary-looking content   -> reject
   *
   * The per-row invariant (BASELINE.json input_hint) — extracted text is
@@ -29,8 +31,9 @@ object Extract {
 
   /** Bumped whenever extraction/safety semantics change — part of the
     * checkpoint config fingerprint (see CheckpointedBuild).
+    * v2: deterministic ISO-8859-1 fallback branch.
     */
-  val Version = 1
+  val Version = 2
 
   // decoders are reused per thread — a fresh CharsetDecoder per row was
   // measurable allocation/GC pressure in the extraction stage, which is
@@ -104,8 +107,29 @@ object Extract {
         }
       }
     }
-    // Reference falls through to chardetng here; we reject (deterministic
-    // corpus never reaches this branch).
+    // Reference falls through to chardetng here (utils.rs:59-68). The
+    // statistical detector is not reproducible on the JVM, so this engine
+    // implements the DETERMINISTIC SUBSET of its verdicts: accept
+    // ISO-8859-1 only when it is the unambiguous choice — content not
+    // binary-looking AND every non-ASCII byte in the printable Latin-1
+    // range 0xA0-0xFF. Bytes 0x80-0x9F are C1 controls in ISO-8859-1
+    // (real pages with them are windows-1252, a guess we refuse to make),
+    // so their presence rejects as ambiguous. This recovers the common
+    // BOM-less Latin-1 page a web crawl actually contains; everything
+    // else still rejects rather than guessing.
+    if (!isBinaryBytes(bytes)) {
+      var ok = false // at least one high byte, else UTF-8 would have won
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        if (b >= 0x80) {
+          if (b < 0xA0) return None // C1 range: ambiguous, reject
+          ok = true
+        }
+        i += 1
+      }
+      if (ok) return Some(new String(bytes, StandardCharsets.ISO_8859_1))
+    }
     None
   }
 

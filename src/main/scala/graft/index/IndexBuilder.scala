@@ -18,7 +18,7 @@ case class IndexStats(
   *
   *   {path}/docs      (doc_id, url, doc_len)           — per-doc metadata
   *   {path}/terms     (term_id, term, df, idf)         — term dictionary
-  *   {path}/postings  (term_id, doc_id, tf, impact)    — uncompressed rows
+  *   {path}/postings  (term_id, doc_id, impact)        — uncompressed rows
   *   {path}/blocks    (term_id, block_id, n, docs_enc,
   *                     impacts_enc, block_max)         — production artifact
   *   {path}/stats     single IndexStats row
@@ -33,6 +33,14 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
   lazy val docs: DataFrame = spark.read.parquet(s"$path/docs")
   lazy val terms: DataFrame = spark.read.parquet(s"$path/terms")
   lazy val postings: DataFrame = spark.read.parquet(s"$path/postings")
+
+  /** Raw token-frequency rows (term, doc_id, tf[, doc_len]) — the build
+    * intermediate every derived table re-reads on rebuilds. Batch builds
+    * write it at {path}/tf; checkpointed builds at {path}/tf/slice=*.
+    */
+  lazy val tfRows: DataFrame =
+    try spark.read.parquet(s"$path/tf")
+    catch { case _: Throwable => spark.read.parquet(s"$path/tf/slice=*") }
 
   /** (num_buckets, block_bits) recorded at build time; None for a legacy
     * (pre-bucketed) blocks layout.
@@ -173,6 +181,13 @@ object BuiltIndex {
   */
 object IndexBuilder {
 
+  /** Dictionary size up to which the postings stage ships (term_id, idf)
+    * as a broadcast-hash join — ~16B/entry plus overhead, so 2M terms is
+    * a ~100MB broadcast, inside the standard executor budget. Beyond it
+    * the idf attach pays one shuffle keyed by the 8-byte term_id.
+    */
+  val DictBroadcastMaxTerms = 2000000L
+
   /** Build from a pages-shaped DataFrame. Expects columns
     * (doc_id LONG, url STRING, text STRING); callers with raw html use
     * [[extractPages]] first.
@@ -183,25 +198,35 @@ object IndexBuilder {
     * tokenize+shuffle at 100 TB, no executor-memory cache dependency.
     */
   /** T1 tokenize (embeddings.rs:342-348) + A1 tf aggregation,
-    * `(doc_id, text) -> (term, doc_id, tf)` WITHOUT a shuffle: the groups
-    * of the tf aggregation are doc-local (each doc lives in exactly one
-    * input row), so the Exchange Catalyst plans for
+    * `(doc_id, text) -> (term, doc_id, tf, doc_len)` WITHOUT a shuffle:
+    * the groups of the tf aggregation are doc-local (each doc lives in
+    * exactly one input row), so the Exchange Catalyst plans for
     * `groupBy(term, doc_id)` is provably redundant — a typed flatMap
     * computes each doc's token histogram in place, one narrow stage.
     * Measured 4-5x faster than explode+groupBy at 100k docs; the tf
     * stage was the dominant build cost.
+    *
+    * doc_len (the doc's kept-token count) rides along on every row: it is
+    * known for free inside the same histogram, and carrying it here lets
+    * the postings stage compute BM25 impacts WITHOUT re-joining tf to the
+    * docs dimension on doc_id — that join was a second full shuffle of
+    * the (large) tf table. Parquet RLE makes the repeated-per-doc column
+    * nearly free on disk.
+    *
+    * The histogram itself is allocation-lean (Tokenizer.termFrequencies):
+    * no lowered full-text copy, no String per token occurrence, no boxed
+    * counts — the tf stage is memory-bandwidth-bound, so heap bytes
+    * touched per doc is the per-node scaling lever.
     */
   def termFrequencies(pages: DataFrame): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val m = new java.util.HashMap[String, Integer]()
-        Tokenizer.tokenize(text).foreach(t => m.merge(t, 1, (a, b) => a + b))
-        val b = Vector.newBuilder[(String, Long, Int)]
-        m.forEach((k, v) => b += ((k, id, v.intValue)))
-        b.result()
-      }.toDF("term", "doc_id", "tf")
+        val tc = Tokenizer.termFrequencies(text)
+        val dl = tc.total
+        tc.iterator.map { case (t, c) => (t, id, c, dl) }
+      }.toDF("term", "doc_id", "tf", "doc_len")
   }
 
   def build(spark: SparkSession, pagesDf: DataFrame, outDir: String,
@@ -214,18 +239,24 @@ object IndexBuilder {
     // the build, and every downstream consumer (tf pass, docs dimension,
     // line-level serving) would otherwise re-run them — at corpus scale
     // that is a second full scan of the input.
+    // big intermediates are zstd (better ratio than the snappy default;
+    // the build is bandwidth-bound, so fewer bytes written+read back wins
+    // over the extra compressor CPU)
     pagesDf
       .select(col("doc_id"), col("url"), col("text"))
       .where(Extract.safe(col("text")))
-      .write.mode("overwrite").parquet(s"$outDir/pages")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$outDir/pages")
     val docsClean = spark.read.parquet(s"$outDir/pages")
 
     val tf = termFrequencies(docsClean)
-    tf.write.mode("overwrite").parquet(s"$outDir/tf")
+    tf.write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$outDir/tf")
     val tfR = spark.read.parquet(s"$outDir/tf")
 
-    // A6: doc lengths; docs dimension keeps zero-token docs (doc_len=0).
-    val docLens = tfR.groupBy("doc_id").agg(sum("tf").as("doc_len"))
+    // A6: doc lengths (first() per doc — every row of a doc carries the
+    // same doc_len); docs dimension keeps zero-token docs (doc_len=0).
+    val docLens = tfR.groupBy("doc_id").agg(first("doc_len").as("doc_len"))
     val docs = docsClean.select("doc_id", "url")
       .join(docLens, Seq("doc_id"), "left")
       .na.fill(0L, Seq("doc_len"))
@@ -234,7 +265,7 @@ object IndexBuilder {
   }
 
   /** Build the derived index tables (docs/terms/postings/blocks/stats)
-    * from token-frequency rows `(term, doc_id, tf)` and a docs dimension
+    * from token-frequency rows `(term, doc_id, tf[, doc_len])` and a docs dimension
     * `(doc_id, url, doc_len)` — the shared tail of the batch build and
     * the streaming compaction (IncrementalIndex.compact).
     */
@@ -289,26 +320,49 @@ object IndexBuilder {
       .agg(count(lit(1)).as("c")).where(col("c") > 1).limit(1).count()
     require(collided == 0L,
       "term_id (xxhash64) collision in dictionary — two terms share an id")
+    val numTerms = termsObs.get("n").asInstanceOf[Long]
 
-    // Posting rows with precomputed BM25 impact. Two shuffle joins, both
-    // on keys the sides were just aggregated by.
+    // Posting rows with precomputed BM25 impact. The serving artifact
+    // needs only (term_id, doc_id, impact): tf is subsumed by the impact
+    // at fixed k1/b and stays in the tf table for rebuilds. Three bus/
+    // shuffle cuts stack here:
+    //   - doc_len rides on the tf rows (v2 schema) -> no doc_id join
+    //     (legacy 3-column tf rows still pay it);
+    //   - term_id = xxhash64(term) is COMPUTED, not joined for — the big
+    //     side drops its term string (~10-20B/row) before any exchange
+    //     and the idf attach joins on the 8-byte id (the dictionary
+    //     derives term_id the same way; the collision guard above makes
+    //     id-equality ≡ term-equality);
+    //   - when the dictionary fits a broadcast, the idf attach is a
+    //     broadcast-hash join and the whole postings stage is
+    //     ZERO-shuffle (scan tf -> narrow join -> sorted write). Web
+    //     vocabularies past the threshold take one id-keyed shuffle.
+    val tfWithLen =
+      if (tfR.columns.contains("doc_len")) tfR
+      else tfR.join(docsR.select("doc_id", "doc_len"), Seq("doc_id"))
+    val dict = termsR.select("term_id", "idf")
+    val dictJoined = tfWithLen
+      .withColumn("term_id", xxhash64(col("term"))).drop("term")
+      .join(
+        if (numTerms <= DictBroadcastMaxTerms) broadcast(dict) else dict,
+        Seq("term_id"))
     val postObs = org.apache.spark.sql.Observation("postings_n")
-    val postings = tfR
-      .join(docsR.select("doc_id", "doc_len"), Seq("doc_id"))
-      .join(termsR.select("term", "term_id", "idf"), Seq("term"))
+    val postings = dictJoined
       .select(
-        col("term_id"), col("doc_id"), col("tf"),
+        col("term_id"), col("doc_id"),
         Bm25.impactCol(col("tf").cast("double"),
           col("doc_len").cast("double"), avgdl, col("idf")).as("impact"))
       .observe(postObs, count(lit(1)).as("n"))
-    // sort-within-partitions only: the upstream join already partitioned
-    // by term, and query pruning relies on parquet ROW-GROUP min/max
-    // stats, which within-file sorting keeps tight. (repartitionByRange
-    // would add a sampling job that RE-EXECUTES the joins; even a hash
-    // repartition is a redundant full shuffle.)
+    // sort-within-partitions only: query pruning relies on parquet
+    // ROW-GROUP min/max stats, which within-file sorting keeps tight —
+    // a file whose rows span many terms still skips row groups on the
+    // pushed In(term_id). (repartitionByRange would add a sampling job
+    // that RE-EXECUTES the join; a hash repartition is a redundant full
+    // shuffle.)
     postings
       .sortWithinPartitions("term_id", "doc_id")
-      .write.mode("overwrite").parquet(s"$outDir/postings")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$outDir/postings")
     val postingsR = spark.read.parquet(s"$outDir/postings")
 
     // Posting blocks: fixed docId ranges (block_id = doc_id >> blockBits)
@@ -317,7 +371,6 @@ object IndexBuilder {
     PostingBlocks.writeBlocks(postingsR, outDir, buckets, blockBits,
       quantizeImpacts)
 
-    val numTerms = termsObs.get("n").asInstanceOf[Long]
     val numPostings = postObs.get("n").asInstanceOf[Long]
     Seq(IndexStats(numDocs, totalTokens, avgdl, numTerms, numPostings))
       .toDS().write.mode("overwrite").parquet(s"$outDir/stats")

@@ -90,14 +90,35 @@ object Dedup {
     verifyJaccard(cands, sh, minJ)
   }
 
+  /** Verify-stage shingle-array ceiling: a pathological doc (hundreds of
+    * KB of text) would otherwise drag a huge collect_list array through
+    * the candidate joins. A doc above the cap is represented by its
+    * `MaxVerifyShingles` smallest-xxhash64 shingles — a deterministic
+    * bottom-k sketch, so pairs involving such docs degrade to a documented
+    * estimate instead of an executor-memory hazard. Every doc within the
+    * corpus safety contract (100 KB line cap, web-page sizes) stays under
+    * the cap, where results remain EXACT.
+    */
+  val MaxVerifyShingles = 25000
+
   /** Exact Jaccard verification of candidate (a,b) pairs: join each side
     * with its full shingle ARRAY (a compact per-doc dimension — two hash
     * joins on ids, no exploded shingle join), intersect inside codegen.
+    * Arrays above [[MaxVerifyShingles]] are bottom-k-capped (see there);
+    * the conditional branch costs nothing for in-contract docs.
     */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame,
       minJ: Double): DataFrame = {
+    val byHash = (l: Column, r: Column) =>
+      when(xxhash64(l) < xxhash64(r), lit(-1))
+        .when(xxhash64(l) > xxhash64(r), lit(1)).otherwise(lit(0))
     val shArr = sh.groupBy("sid")
-      .agg(collect_list(col("s")).as("arr"), count(lit(1)).as("sz"))
+      .agg(collect_list(col("s")).as("arr0"))
+      .withColumn("arr",
+        when(size(col("arr0")) <= lit(MaxVerifyShingles), col("arr0"))
+          .otherwise(slice(array_sort(col("arr0"), byHash), 1, MaxVerifyShingles)))
+      .withColumn("sz", size(col("arr")).cast("long"))
+      .drop("arr0")
     cands
       .join(shArr.select(col("sid").as("a"), col("arr").as("arr_a"),
         col("sz").as("na")), Seq("a"))

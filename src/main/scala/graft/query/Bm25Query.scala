@@ -289,7 +289,7 @@ object Bm25Query {
     * a per-partition heap or move its threshold — so the filtered top-k
     * stays exact.
     */
-  private[query] case class DocFilter(sorted: Array[Long], isAllow: Boolean)
+  private[graft] case class DocFilter(sorted: Array[Long], isAllow: Boolean)
 
   /** (doc_id, score) of per-partition survivors (superset of global top-k),
     * or None on short-circuit.
@@ -364,7 +364,7 @@ object Bm25Query {
   /** Merge one partition's block groups. Rows arrive sorted by
     * (block_id, term_id); each contiguous block_id run is one docId range.
     */
-  private def processPartition(it: Iterator[BlockRow], nTerms: Int, k: Int,
+  private[graft] def processPartition(it: Iterator[BlockRow], nTerms: Int, k: Int,
       conjunctive: Boolean,
       initThreshold: Double = Double.NegativeInfinity,
       q8: Boolean = false,
@@ -412,18 +412,34 @@ object Bm25Query {
       // decode; rows are term_id-ascending => per-doc sums accumulate in
       // canonical term order (bit-identical to the oracle)
       if (conjunctive) {
+        // docId arrays decode eagerly (the intersection needs them);
+        // IMPACT arrays decode lazily, only if the intersection actually
+        // survives to scoring — on head/stopword-conjunctive queries most
+        // groups produce no candidate, and impacts are the bigger payload
+        // (8B/posting vs ~1-2B delta-varint docIds)
         val docArrays = new Array[Array[Long]](present)
         val impArrays = new Array[Array[Double]](present)
         gi = 0
         while (gi < present) {
-          val r = group(gi)
-          docArrays(gi) = PostingCodec.decodeDocIds(r.docs_enc, r.n)
-          impArrays(gi) = decodeImp(r.impacts_enc, r.n)
+          docArrays(gi) = PostingCodec.decodeDocIds(group(gi).docs_enc, group(gi).n)
           gi += 1
         }
+        @inline def imps(ti: Int): Array[Double] = {
+          if (impArrays(ti) == null)
+            impArrays(ti) = decodeImp(group(ti).impacts_enc, group(ti).n)
+          impArrays(ti)
+        }
+        // doc-level bound: remUb(ti) = max attainable from terms ti..end
+        // (Σ block_max suffix) — a candidate whose partial score cannot
+        // reach the heap threshold stops mid-sum (exact: an equal score
+        // can still win its tie-break, so only strictly-below bails)
+        val remUb = new Array[Double](present + 1)
+        gi = present - 1
+        while (gi >= 0) { remUb(gi) = remUb(gi + 1) + group(gi).block_max; gi -= 1 }
         // k-way sorted intersection, smallest list drives (K2 semantics)
         val order = (0 until present).sortBy(docArrays(_).length)
-        val drive = docArrays(order.head)
+        val driveIdx = order.head
+        val drive = docArrays(driveIdx)
         val ptrs = new Array[Int](present)
         var di = 0
         while (di < drive.length) {
@@ -440,16 +456,20 @@ object Bm25Query {
             oi += 1
           }
           if (ok && allowed(doc)) {
-            // sum in ascending term_id order (= group order)
+            // sum in ascending term_id order (= group order); positions
+            // come from the intersection pointers (drive: di) — no
+            // per-candidate binary searches
+            ptrs(driveIdx) = di
+            val th = threshold
             var score = 0.0
             var ti = 0
-            while (ti < present) {
-              val arr = docArrays(ti)
-              var p = java.util.Arrays.binarySearch(arr, doc)
-              score += impArrays(ti)(p)
+            var viable = true
+            while (viable && ti < present) {
+              score += imps(ti)(ptrs(ti))
               ti += 1
+              viable = score + remUb(ti) >= th
             }
-            offer(doc, score)
+            if (viable) offer(doc, score)
           }
           di += 1
         }

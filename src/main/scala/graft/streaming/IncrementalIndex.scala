@@ -22,7 +22,7 @@ import graft.extract.Extract
   *
   * Layout under `indexDir`:
   *   stream_tf/batch=<id>/   — per-micro-batch tf rows (term, doc_id, tf,
-  *                             batch) — appended, never rewritten
+  *                             doc_len, batch) — appended, never rewritten
   *   stream_docs/batch=<id>/ — per-batch (doc_id, url, doc_len, batch)
   */
 object IncrementalIndex {
@@ -43,9 +43,10 @@ object IncrementalIndex {
     // doc-local tf histogram — zero-shuffle (see IndexBuilder.termFrequencies)
     val tf = graft.index.IndexBuilder.termFrequencies(clean)
       .withColumn("batch", lit(batchId))
-    tf.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stream_tf/batch=$batchId")
+    tf.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .parquet(s"$indexDir/stream_tf/batch=$batchId")
     clean.select("doc_id", "url")
-      .join(tf.groupBy("doc_id").agg(sum("tf").as("doc_len")), Seq("doc_id"), "left")
+      .join(tf.groupBy("doc_id").agg(first("doc_len").as("doc_len")), Seq("doc_id"), "left")
       .na.fill(0L, Seq("doc_len"))
       .withColumn("batch", lit(batchId))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stream_docs/batch=$batchId")
@@ -75,7 +76,8 @@ object IncrementalIndex {
   def currentTf(spark: SparkSession, indexDir: String): DataFrame = {
     val tf = spark.read.parquet(s"$indexDir/stream_tf/batch=*")
     val latest = tf.groupBy("doc_id").agg(max("batch").as("batch"))
-    tf.join(latest, Seq("doc_id", "batch")).select("term", "doc_id", "tf")
+    tf.join(latest, Seq("doc_id", "batch"))
+      .select("term", "doc_id", "tf", "doc_len")
   }
 
   def currentDocs(spark: SparkSession, indexDir: String): DataFrame = {

@@ -44,11 +44,16 @@ object Symbols {
     * (containment, exact-name weight x2), with the first matching line
     * exposed (the reference returns the symbol's line per match).
     */
-  def search(symbols: DataFrame, query: String, k: Int): DataFrame = {
-    val q = query.trim.toLowerCase(Locale.ROOT)
+  def search(symbols: DataFrame, query: String, k: Int): DataFrame =
+    score(symbols.where(col("name").contains(normalize(query))),
+      normalize(query), k)
+
+  @inline private def normalize(query: String): String =
+    query.trim.toLowerCase(Locale.ROOT)
+
+  private def score(matched: DataFrame, q: String, k: Int): DataFrame = {
     val kk = math.max(1, math.min(k, 1000))
-    symbols
-      .where(col("name").contains(q))
+    matched
       .withColumn("w",
         when(col("name") === q, lit(2.0)).otherwise(lit(1.0)))
       .groupBy("doc_id")
@@ -57,5 +62,60 @@ object Symbols {
         min("line").as("first_line"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(kk)
+  }
+
+  /** Persist symbols as an INDEX ARTIFACT (the reference prefilters symbol
+    * search through its index before touching the symbol cache,
+    * engine.rs:1628-1824 — a per-query full scan of the exploded symbols
+    * table is the anti-pattern this replaces):
+    *
+    *   {dir}/symbols       (doc_id, name, kind, line), files sorted by
+    *                       name -> row-group min/max stats serve pushed
+    *                       name predicates
+    *   {dir}/symbol_names  distinct (name, n) dimension, sorted — the
+    *                       trigram-dictionary analog; ~|vocabulary| rows,
+    *                       orders of magnitude smaller than the symbols
+    *                       fact table
+    */
+  def build(pages: DataFrame, dir: String): Unit = {
+    val spark = pages.sparkSession
+    extract(pages)
+      .sortWithinPartitions("name")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$dir/symbols")
+    spark.read.parquet(s"$dir/symbols")
+      .groupBy("name").agg(count(lit(1)).as("n"))
+      .sortWithinPartitions("name")
+      .write.mode("overwrite").parquet(s"$dir/symbol_names")
+  }
+
+  /** Names a containment query may resolve to before the pushed-In plan
+    * stops paying (In-list evaluation + task-binary size); past this the
+    * query falls back to the containment scan it replaces.
+    */
+  val MaxPushedNames = 10000
+
+  /** Symbols search against a persisted artifact. The containment
+    * predicate runs over the small names DIMENSION first; the big symbols
+    * table is then read with a pushed `In(name)` filter (sorted files ->
+    * row-group pruning), never containment-scanned — unless the name set
+    * exceeds `maxPushedNames` (stopword-ish query), where the full scan is
+    * the honest plan anyway. Results are identical to [[search]] by
+    * construction: isin(all names containing q) ≡ contains(q).
+    */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      query: String, k: Int,
+      maxPushedNames: Int = MaxPushedNames): DataFrame = {
+    val q = normalize(query)
+    val symbols = spark.read.parquet(s"$dir/symbols")
+    val names = spark.read.parquet(s"$dir/symbol_names")
+      .where(col("name").contains(q))
+      .select("name").limit(maxPushedNames + 1)
+      .collect().map(_.getString(0))
+    val matched =
+      if (names.length <= maxPushedNames)
+        symbols.where(col("name").isin(names.toIndexedSeq: _*))
+      else symbols.where(col("name").contains(q))
+    score(matched, q, k)
   }
 }

@@ -92,6 +92,58 @@ object Tokenizer {
     n
   }
 
+  /** Per-doc token histogram, allocation-lean: the tf stage is the
+    * dominant build cost and is memory-bandwidth-bound on this class of
+    * hardware, so bytes touched per doc is the scaling lever. Compared to
+    * `tokenize(text)` + a boxed HashMap count, this avoids (for the ASCII
+    * fast path, i.e. essentially all web text after extraction):
+    *
+    *   - the full lowered copy of the text (`toLowerCase` duplicates every
+    *     doc through the heap),
+    *   - a String allocation per token OCCURRENCE (tokens materialize only
+    *     on first sight, via a reusable char buffer),
+    *   - Integer boxing per count increment (open-addressed int counts).
+    *
+    * Semantics are EXACTLY `tokenize(text)` grouped and counted: for pure
+    * ASCII, lower-then-split ≡ split-then-lower (1:1 class-preserving case
+    * map), and any non-ASCII char falls back to the reference-exact path
+    * (order matters there: e.g. U+0130 lowers to "i" + a combining mark
+    * that is a token separator). Histogram order is unspecified. The
+    * returned counter also carries `total` (= the doc length in kept
+    * tokens), so callers get doc_len in the same pass.
+    */
+  def termFrequencies(text: String): TokenCounter = {
+    val tc = new TokenCounter
+    if (text == null || text.isEmpty) return tc
+    val n = text.length
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) { if (text.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) {
+      var buf = new Array[Char](64)
+      var len = 0
+      var h = 0
+      i = 0
+      while (i <= n) {
+        val c = if (i < n) text.charAt(i) else ' '
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) {
+          if (len == buf.length) buf = java.util.Arrays.copyOf(buf, len * 2)
+          buf(len) = lc; len += 1
+          h = 31 * h + lc
+        } else if (len > 0) {
+          // ASCII: byte length == char length
+          if (len > 2) tc.add(buf, len, h)
+          len = 0; h = 0
+        }
+        i += 1
+      }
+    } else {
+      tokenize(text).foreach(tc.add)
+    }
+    tc
+  }
+
   /** Java-regex equivalent of "split on non-alphanumeric". */
   val SplitRegex = "[^\\p{L}\\p{N}]+"
 
@@ -108,4 +160,90 @@ object Tokenizer {
     */
   def tokensColAscii(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > lit(2))
+}
+
+/** Open-addressed (String -> int) counter for per-doc histograms. Keys
+  * hash with the String.hashCode polynomial so a probe over a char-buffer
+  * region needs no String, and rehash-on-grow reuses the cached hashCode
+  * of stored keys. Linear probing, load factor 0.5.
+  */
+final class TokenCounter private[tokenize] () {
+  private var cap = 256 // power of 2
+  private var mask = cap - 1
+  private var keys = new Array[String](cap)
+  private var counts = new Array[Int](cap)
+  private var size = 0
+
+  /** Total occurrences counted (= doc_len when fed one doc's tokens). */
+  var total: Long = 0L
+
+  /** Count an occurrence of buf[0..len); h must be the String.hashCode
+    * polynomial over exactly those chars. Allocates only on first sight.
+    */
+  private[tokenize] def add(buf: Array[Char], len: Int, h: Int): Unit = {
+    total += 1
+    var i = h & mask
+    while (true) {
+      val k = keys(i)
+      if (k == null) {
+        keys(i) = new String(buf, 0, len); counts(i) = 1
+        size += 1
+        if (size * 2 > cap) grow()
+        return
+      }
+      if (k.length == len && regionEq(k, buf, len)) {
+        counts(i) += 1; return
+      }
+      i = (i + 1) & mask
+    }
+  }
+
+  /** Count an occurrence of an already-materialized token. */
+  private[tokenize] def add(tok: String): Unit = {
+    total += 1
+    var i = tok.hashCode & mask
+    while (true) {
+      val k = keys(i)
+      if (k == null) {
+        keys(i) = tok; counts(i) = 1
+        size += 1
+        if (size * 2 > cap) grow()
+        return
+      }
+      if (k == tok) { counts(i) += 1; return }
+      i = (i + 1) & mask
+    }
+  }
+
+  @inline private def regionEq(k: String, buf: Array[Char], len: Int): Boolean = {
+    var j = 0
+    while (j < len) { if (k.charAt(j) != buf(j)) return false; j += 1 }
+    true
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val oc = counts
+    cap *= 2; mask = cap - 1
+    keys = new Array[String](cap); counts = new Array[Int](cap)
+    var i = 0
+    while (i < ok.length) {
+      val k = ok(i)
+      if (k != null) {
+        var j = k.hashCode & mask
+        while (keys(j) != null) j = (j + 1) & mask
+        keys(j) = k; counts(j) = oc(i)
+      }
+      i += 1
+    }
+  }
+
+  def iterator: Iterator[(String, Int)] = new Iterator[(String, Int)] {
+    private var i = 0
+    private def seek(): Unit = { while (i < cap && keys(i) == null) i += 1 }
+    seek()
+    def hasNext: Boolean = i < cap
+    def next(): (String, Int) = {
+      val r = (keys(i), counts(i)); i += 1; seek(); r
+    }
+  }
 }

@@ -35,19 +35,18 @@ object BuildProf {
     val tf = graft.index.IndexBuilder.termFrequencies(pages)
     t("3 tf agg + write") { tf.write.parquet(s"$out/tf") }
     val tfR = spark.read.parquet(s"$out/tf")
-    t("4 docLens") { tfR.groupBy("doc_id").agg(sum("tf")).count() }
+    t("4 docLens") { tfR.groupBy("doc_id").agg(first("doc_len")).count() }
     t("5 terms dict + write") {
       tfR.groupBy("term").agg(count(lit(1)).as("df"))
         .withColumn("term_id", xxhash64(col("term")))
         .withColumn("idf", Bm25.idfCol(n, col("df")))
         .write.parquet(s"$out/terms")
     }
-    val docsR = tfR.groupBy("doc_id").agg(sum("tf").as("doc_len"))
     val termsR = spark.read.parquet(s"$out/terms")
     t("6 postings join+sort+write") {
-      tfR.join(docsR, Seq("doc_id"))
-        .join(termsR.select("term", "term_id", "idf"), Seq("term"))
-        .select(col("term_id"), col("doc_id"), col("tf"),
+      tfR.withColumn("term_id", xxhash64(col("term"))).drop("term")
+        .join(broadcast(termsR.select("term_id", "idf")), Seq("term_id"))
+        .select(col("term_id"), col("doc_id"),
           Bm25.impactCol(col("tf").cast("double"),
             col("doc_len").cast("double"), 500.0, col("idf")).as("impact"))
         .repartitionByRange(col("term_id"))

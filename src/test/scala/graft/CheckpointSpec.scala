@@ -67,8 +67,8 @@ class CheckpointSpec extends AnyFunSuite {
       canon(dirB, "docs", Seq("doc_id", "url", "doc_len")))
     assert(canon(dirA, "terms", Seq("term_id", "term", "df", "idf")) ==
       canon(dirB, "terms", Seq("term_id", "term", "df", "idf")))
-    assert(canon(dirA, "postings", Seq("term_id", "doc_id", "tf", "impact")) ==
-      canon(dirB, "postings", Seq("term_id", "doc_id", "tf", "impact")))
+    assert(canon(dirA, "postings", Seq("term_id", "doc_id", "impact")) ==
+      canon(dirB, "postings", Seq("term_id", "doc_id", "impact")))
     assert(canon(dirA, "blocks", Seq("term_id", "block_id", "n", "block_max")) ==
       canon(dirB, "blocks", Seq("term_id", "block_id", "n", "block_max")))
     assert(idxA.stats == idxB.stats)
@@ -119,8 +119,8 @@ class CheckpointSpec extends AnyFunSuite {
       canon(dirC, "docs", Seq("doc_id", "url", "doc_len")))
     assert(canon(dirA, "terms", Seq("term_id", "term", "df", "idf")) ==
       canon(dirC, "terms", Seq("term_id", "term", "df", "idf")))
-    assert(canon(dirA, "postings", Seq("term_id", "doc_id", "tf", "impact")) ==
-      canon(dirC, "postings", Seq("term_id", "doc_id", "tf", "impact")))
+    assert(canon(dirA, "postings", Seq("term_id", "doc_id", "impact")) ==
+      canon(dirC, "postings", Seq("term_id", "doc_id", "impact")))
     assert(idxA.stats == idxC.stats)
     // the mutated content is actually served
     val hits = Bm25Query.searchBlocks(idxA, "resumemutation", 10).collect()

@@ -43,6 +43,26 @@ object PlanDump {
         .explain("formatted")
       println("### PLAN 6: posting-block encode (one Tungsten shuffle + local sort + streaming mapPartitions)")
       graft.index.PostingBlocks.encode(idx.postings).explain("formatted")
+      println("### PLAN 7: line-serving content scan (pushed In(doc_id) — reads ONLY the top-k docs)")
+      val pages = spark.read.parquet(s"$dir/pages")
+      val topIds = Bm25Query.searchBlocks(idx, PagesCorpus.vocab(3), 5)
+        .collect().map(_.doc_id).toSeq
+      pages.where(col("doc_id").isin(topIds: _*))
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("ln0", "line")))
+        .explain("formatted")
+      println("### PLAN 8: filtered block-WAND (doc filter BROADCAST into the merge; zero Exchange, no naive fallback)")
+      val allow = idx.docs.where(col("doc_id") % 3 === 0).select("doc_id")
+      val arr = allow.collect().map(_.getLong(0)); java.util.Arrays.sort(arr)
+      Bm25Query.scoredBlocks(idx,
+        s"${PagesCorpus.vocab(3)} ${PagesCorpus.vocab(7)}", 10, conjunctive = true,
+        docFilter = Some(Bm25Query.DocFilter(arr, isAllow = true)))
+        .get.explain("formatted")
+      println("### PLAN 9: symbols search via artifact (containment on the names DIMENSION, pushed In(name) on the fact table)")
+      val symDir = java.nio.file.Files.createTempDirectory("graft-plans-sym").toString
+      graft.symbols.Symbols.build(pages, symDir)
+      graft.symbols.Symbols.searchIndexed(spark, symDir, PagesCorpus.vocab(3), 10)
+        .explain("formatted")
     }
     out.close()
     spark.stop()

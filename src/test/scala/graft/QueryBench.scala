@@ -6,16 +6,20 @@ import graft.corpus.PagesCorpus
 import graft.index.IndexBuilder
 import graft.query.Bm25Query
 
-/** Serving-mode query-latency probe (scratch tool): build over the cached
-  * 200k-doc corpus, pin hot tables + driver dictionary, run the
-  * ScalingBench 30-query workload twice (first pass warms), report p50 /
-  * p95 of the second pass. Complements ScalingBench (which measures the
-  * same thing inside the scaling protocol) without overwriting
-  * BENCH/BASELINE.md.
+/** Mixed-workload serving load test — the analog of the reference
+  * validator's `--load-test` (per-query-class QPS and latency percentiles,
+  * /root/reference/src/bin/fast_code_search_validator.rs:692-810): build
+  * over the cached corpus, pin hot tables + driver dictionary, then run a
+  * labeled query mix and report p50/p95/p99 + QPS PER CLASS (needle /
+  * head / conjunctive / disjunctive / filtered / regex / lines), so a
+  * serving regression localizes to the query family.
+  *
+  * Usage: Test/runMain graft.QueryBench [nDocs] [rounds]   (200000, 3)
   */
 object QueryBench {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 200000L
+    val rounds = if (args.length > 1) args(1).toInt else 3
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
@@ -29,25 +33,66 @@ object QueryBench {
     val dir = Files.createTempDirectory("graft-qbench").toString
     val idx = IndexBuilder.build(spark, IndexBuilder.extractPages(raw), dir)
       .cacheHot().cacheDictionary()
+    val pages = spark.read.parquet(s"$dir/pages")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pages.count()
 
-    val queries =
-      (0 until 10).map(i => (PagesCorpus.needleTerm(i), true)) ++
-      (0 until 5).map(i => (PagesCorpus.vocab(i), true)) ++
-      (0 until 10).map(i =>
-        (s"${PagesCorpus.vocab(3 + i)} ${PagesCorpus.vocab(40 + 7 * i)}", true)) ++
-      (0 until 5).map(i =>
-        (s"${PagesCorpus.vocab(20 + i)} ${PagesCorpus.vocab(100 + i)}", false))
+    import org.apache.spark.sql.functions.col
+    val allow = idx.docs.where(col("doc_id") % 3 === 0).select("doc_id")
 
-    def pass(): Seq[Double] = queries.map { case (q, conj) =>
-      val t0 = System.nanoTime()
-      Bm25Query.searchBlocks(idx, q, 10, conj).collect()
-      (System.nanoTime() - t0) / 1e6
+    // the labeled mix: (class, run-one-query thunk)
+    val workload: Seq[(String, () => Unit)] =
+      (0 until 10).map(i => "needle" -> (() => {
+        Bm25Query.searchBlocks(idx, PagesCorpus.needleTerm(i), 10).collect(); ()
+      })) ++
+      (0 until 5).map(i => "head" -> (() => {
+        Bm25Query.searchBlocks(idx, PagesCorpus.vocab(i), 10).collect(); ()
+      })) ++
+      (0 until 10).map(i => "conjunctive" -> (() => {
+        Bm25Query.searchBlocks(idx,
+          s"${PagesCorpus.vocab(3 + i)} ${PagesCorpus.vocab(40 + 7 * i)}",
+          10).collect(); ()
+      })) ++
+      (0 until 5).map(i => "disjunctive" -> (() => {
+        Bm25Query.searchBlocks(idx,
+          s"${PagesCorpus.vocab(20 + i)} ${PagesCorpus.vocab(100 + i)}",
+          10, conjunctive = false).collect(); ()
+      })) ++
+      (0 until 3).map(i => "filtered" -> (() => {
+        Bm25Query.searchBlocksFiltered(idx,
+          s"${PagesCorpus.vocab(5 + i)} ${PagesCorpus.vocab(60 + i)}",
+          10, conjunctive = true, allow).collect(); ()
+      })) ++
+      (0 until 3).map(i => "regex" -> (() => {
+        graft.query.RegexQuery.search(idx, pages,
+          s"${PagesCorpus.vocab(8 + i)}\\s+\\w+", 100).collect(); ()
+      })) ++
+      (0 until 3).map(i => "lines" -> (() => {
+        Bm25Query.searchWithLines(idx, pages,
+          PagesCorpus.vocab(30 + i), 10).collect(); ()
+      }))
+
+    def onePass(): Seq[(String, Double)] = workload.map { case (cls, f) =>
+      val t0 = System.nanoTime(); f(); cls -> (System.nanoTime() - t0) / 1e6
     }
-    pass() // warm
-    val lat = pass().sorted
-    def pct(p: Double) = lat(math.min(lat.size - 1, (p * lat.size).toInt))
-    println(f"[qbench] n=$nDocs queries=${lat.size} " +
-      f"p50=${pct(0.5)}%.1fms p95=${pct(0.95)}%.1fms min=${lat.min}%.1fms max=${lat.max}%.1fms")
+    onePass() // warm (plans, caches, codegen)
+    val lat = (0 until rounds).flatMap(_ => onePass())
+
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.size - 1, (p * s.size).toInt))
+    }
+    val wall = lat.map(_._2).sum / 1000.0
+    println(f"[loadtest] n=$nDocs rounds=$rounds queries=${lat.size} " +
+      f"qps=${lat.size / wall}%.1f " +
+      f"p50=${pct(lat.map(_._2), 0.5)}%.0fms p95=${pct(lat.map(_._2), 0.95)}%.0fms " +
+      f"p99=${pct(lat.map(_._2), 0.99)}%.0fms")
+    lat.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (cls, xs) =>
+      val v = xs.map(_._2)
+      println(f"[loadtest:$cls] n=${v.size} p50=${pct(v, 0.5)}%.0fms " +
+        f"p95=${pct(v, 0.95)}%.0fms p99=${pct(v, 0.99)}%.0fms " +
+        f"qps=${v.size / (v.sum / 1000.0)}%.1f")
+    }
     spark.stop()
   }
 }

@@ -25,11 +25,12 @@ object StageProf {
       }
       val pagesR = spark.read.parquet(s"$out/pages")
       t("2 tf flatMap+write") {
-        IndexBuilder.termFrequencies(pagesR).write.mode("overwrite").parquet(s"$out/tf")
+        IndexBuilder.termFrequencies(pagesR).write.mode("overwrite")
+          .option("compression", "zstd").parquet(s"$out/tf")
       }
       val tfR = spark.read.parquet(s"$out/tf")
       t("3 docs dim") {
-        val docLens = tfR.groupBy("doc_id").agg(sum("tf").as("doc_len"))
+        val docLens = tfR.groupBy("doc_id").agg(first("doc_len").as("doc_len"))
         pagesR.select("doc_id", "url").join(docLens, Seq("doc_id"), "left")
           .na.fill(0L, Seq("doc_len")).sortWithinPartitions("doc_id")
           .write.mode("overwrite").parquet(s"$out/docs")
@@ -47,15 +48,15 @@ object StageProf {
           .where(col("c") > 1).limit(1).count()
         require(c == 0)
       }
-      val docsR = spark.read.parquet(s"$out/docs")
       t("6 postings join+write") {
-        tfR.join(docsR.select("doc_id", "doc_len"), Seq("doc_id"))
-          .join(termsR.select("term", "term_id", "idf"), Seq("term"))
-          .select(col("term_id"), col("doc_id"), col("tf"),
+        tfR.withColumn("term_id", xxhash64(col("term"))).drop("term")
+          .join(broadcast(termsR.select("term_id", "idf")), Seq("term_id"))
+          .select(col("term_id"), col("doc_id"),
             Bm25.impactCol(col("tf").cast("double"),
               col("doc_len").cast("double"), 527.0, col("idf")).as("impact"))
           .sortWithinPartitions("term_id", "doc_id")
-          .write.mode("overwrite").parquet(s"$out/postings")
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$out/postings")
       }
       t("7 blocks encode+bucketed write") {
         PostingBlocks.writeBlocks(spark.read.parquet(s"$out/postings"), out, 64)

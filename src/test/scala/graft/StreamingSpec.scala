@@ -31,7 +31,9 @@ class StreamingSpec extends AnyFunSuite {
     val q1 = IncrementalIndex.start(spark, s"$src/wave*", idx, schema)
     q1.awaitTermination()
 
+    // currentTf carries doc_len (v2 tf schema); compare the tf triples
     val tf1 = IncrementalIndex.currentTf(spark, idx)
+      .select("term", "doc_id", "tf")
     val batchTf1 = wave1.where(graft.extract.Extract.safe(col("text")))
       .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).cast("int").as("tf"))
@@ -51,6 +53,7 @@ class StreamingSpec extends AnyFunSuite {
     q2.awaitTermination()
 
     val tf2 = IncrementalIndex.currentTf(spark, idx)
+      .select("term", "doc_id", "tf")
     // new docs present
     assert(tf2.where(col("doc_id") === 60).count() > 0)
     // modified doc: latest wins — old tokens gone, new tokens present

@@ -45,6 +45,33 @@ class SymbolsSpec extends AnyFunSuite {
       (2L, 2.0, 1L, 1)))
   }
 
+  test("indexed search == scan search; symbols scan carries pushed In(name)") {
+    val dir = Files.createTempDirectory("graft-sym-art").toString
+    Symbols.build(docs, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Double, Long, Int)].collect().toSeq
+    for (q <- Seq("Alpha", "alphabet", "charlie", "zzz-none", "bravo")) {
+      val scan = rows(Symbols.search(Symbols.extract(docs), q, 10))
+      val indexed = rows(Symbols.searchIndexed(spark, dir, q, 10))
+      assert(indexed == scan, s"query '$q'")
+      // cap=0 forces the containment fallback — still identical
+      val fallback = rows(Symbols.searchIndexed(spark, dir, q, 10,
+        maxPushedNames = 0))
+      assert(fallback == scan, s"fallback for query '$q'")
+    }
+    // the In(name) filter must reach the parquet scan of the big table
+    val q = "alpha"
+    val names = spark.read.parquet(s"$dir/symbol_names")
+      .where(org.apache.spark.sql.functions.col("name").contains(q))
+      .select("name").collect().map(_.getString(0))
+    val plan = spark.read.parquet(s"$dir/symbols")
+      .where(org.apache.spark.sql.functions.col("name")
+        .isin(names.toIndexedSeq: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(name"),
+      s"expected pushed In(name) filter in:\n$plan")
+  }
+
   test("the BM25 machinery runs over the name field (symbols-as-index)") {
     val dir = Files.createTempDirectory("graft-sym-idx").toString
     // one 'document' per doc_id whose text is its symbol names — the same

@@ -44,6 +44,30 @@ class TokenizerSpec extends AnyFunSuite {
     }
   }
 
+  test("termFrequencies histogram == tokenize grouped+counted, total == doc_len") {
+    def want(s: String): Map[String, Int] =
+      Tokenizer.tokenize(s).groupBy(identity).map { case (k, v) => k -> v.size }
+    val fixed = Seq(
+      "Hello, World! hello WORLD hello", "", "...!!!", "a bb ccc dddd ccc",
+      "héllo wörld héllo", "日本 日本 日本語",
+      // exercises the non-ASCII fallback's order-sensitivity: U+0130
+      // lowers to i + combining mark (a separator)
+      "AİB data", "mixed ASCII then héllo then ascii again",
+      ("tok%04d " * 600).format(0 until 600: _*), // counter growth
+      "x" * 5000 + " yyy " + "x" * 5000)
+    val genWord = Gen.oneOf("the", "DATA", "data", "Data", "a", "ab", "abc",
+      "x9", "42", "999", "héllo", "日本語", "under_score", "dup,dup", "...")
+    val genText = Gen.listOfN(40, genWord).map(_.mkString(" "))
+    val random = Gen.listOfN(200, genText).sample.get
+    (fixed ++ random).foreach { s =>
+      val tc = Tokenizer.termFrequencies(s)
+      val got = tc.iterator.toMap
+      assert(got == want(s), s"input: '${s.take(80)}'")
+      assert(tc.total == Tokenizer.tokenize(s).size.toLong,
+        s"total != token count for '${s.take(80)}'")
+    }
+  }
+
   test("property: column twin == pure function on realistic text") {
     val spark = TestSpark.spark
     import spark.implicits._
