@@ -53,6 +53,7 @@ object Bench {
     "sim_lsh_neardups" -> "similarity",
     // text analysis
     "txt_quality" -> "text",
+    "chunk_split" -> "text",
     "txt_langid" -> "text",
     "s5_safety_filter" -> "text",
     "w2_fast_rank" -> "text",

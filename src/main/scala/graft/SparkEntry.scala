@@ -195,6 +195,13 @@ object SparkEntry {
       documents(s, dir).select(
         col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))),
 
+    // --- sub-document chunking (chunk-level retrieval units) ---
+    "chunk_split" -> ((s, dir) =>
+      graft.ops.Chunking.chunks(documents(s, dir), sizeLines = 8, overlap = 2)
+        .select(col("doc_id"), col("chunk"), col("start_line"),
+          col("end_line"), col("n_lines"),
+          md5(col("chunk_text")).as("chunk_md5"))),
+
     // --- text analysis ---
     "txt_quality" -> ((s, dir) => {
       val d = documents(s, dir)
@@ -616,6 +623,22 @@ object SparkEntry {
 
     "txt_fingerprint" ->
       s"SELECT doc_id, md5(array_to_string($Tok, ' ')) AS fp FROM documents",
+
+    // line-window chunks size=8 overlap=2 (step=6): line L belongs to
+    // chunks [max(0,(L-8)//6+1) .. L//6]; duckdb range() is exclusive-hi
+    "chunk_split" ->
+      """WITH l AS (SELECT doc_id,
+        |             unnest(string_split(text, chr(10))) AS line,
+        |             unnest(range(0, len(string_split(text, chr(10))))) AS ln0
+        |           FROM documents),
+        |lc AS (SELECT doc_id, ln0, line,
+        |         unnest(range(CASE WHEN ln0 < 8 THEN 0 ELSE (ln0 - 8) // 6 + 1 END,
+        |                      ln0 // 6 + 1)) AS chunk
+        |       FROM l)
+        |SELECT doc_id, chunk, min(ln0) AS start_line, max(ln0) AS end_line,
+        |       count(*) AS n_lines,
+        |       md5(string_agg(line, chr(10) ORDER BY ln0)) AS chunk_md5
+        |FROM lc GROUP BY 1, 2""".stripMargin,
 
     "txt_quality" ->
       s"""$ToksCte,

@@ -152,22 +152,31 @@ object Dedup {
     val sigs = minhashSignatures(df, id, text, n, k)
     val sigArr = sigs.withColumn("sig", array((0 until k).map(i => col(s"h$i")): _*))
       .select(col(id).as("sid"), col("sig"))
+    // banded rows carry (sid, band, bucket) ONLY — the 64-long signature
+    // (~520B/row, x bands rows per doc) stays OUT of the band-bucket
+    // shuffle and joins back onto the (far smaller) distinct candidate
+    // set afterwards. est_j (component-equality fraction of the FULL
+    // signatures) is band-independent, so computing it once after the
+    // distinct equals the old per-band-then-max form exactly.
     val banded = sigArr.select(
-      col("sid"), col("sig"),
+      col("sid"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           xxhash64(b +: (0 until rpb).map(r =>
             element_at(col("sig"), b * lit(rpb) + lit(r + 1))): _*).as("bucket")))).as("bb"))
-      .select(col("sid"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val x = banded.toDF("a", "siga", "band", "bucket")
-    val y = banded.toDF("b", "sigb", "band", "bucket")
-    x.join(y, Seq("band", "bucket"))
+      .select(col("sid"), col("bb.band"), col("bb.bucket"))
+    val x = banded.toDF("a", "band", "bucket")
+    val y = banded.toDF("b", "band", "bucket")
+    val candIds = x.join(y, Seq("band", "bucket"))
       .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    candIds
+      .join(sigArr.select(col("sid").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sigArr.select(col("sid").as("b"), col("sig").as("sigb")), Seq("b"))
       .select(col("a"), col("b"),
         (size(filter(zip_with(col("siga"), col("sigb"), (p, q) =>
           (p === q).cast("int")), v => v === 1)).cast("double") / lit(k.toDouble))
           .as("est_j"))
-      .groupBy("a", "b").agg(max("est_j").as("est_j"))
   }
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard >= minJ —
