@@ -474,22 +474,91 @@ object Bm25Query {
           di += 1
         }
       } else {
-        // union: accumulate per doc, term lists visited term_id-ascending
-        val acc = mutable.LinkedHashMap.empty[Long, Double]
+        // union: doc-at-a-time WAND inside the group. Within one block
+        // every list's per-doc upper bound is a CONSTANT (its block_max),
+        // so the classic pivot rule applies directly: with alive lists
+        // sorted by head doc, any doc below the pivot doc can only draw
+        // from lists whose block_max prefix-sum is strictly below the
+        // threshold — skip them without decoding. Impacts decode lazily,
+        // only when one of a list's docs is actually evaluated; a doc is
+        // skipped only when its bound is STRICTLY below the threshold,
+        // so tie-breaks (and therefore results) stay bit-exact. The
+        // threshold also folds in the disjunctive bootstrap lower bound
+        // (a doc strictly below it cannot be in the final top-k).
+        val docArr = new Array[Array[Long]](present)
         gi = 0
         while (gi < present) {
-          val r = group(gi)
-          val ds = PostingCodec.decodeDocIds(r.docs_enc, r.n)
-          val is = decodeImp(r.impacts_enc, r.n)
-          var i = 0
-          while (i < ds.length) {
-            if (allowed(ds(i)))
-              acc.update(ds(i), acc.getOrElse(ds(i), 0.0) + is(i))
-            i += 1
-          }
+          docArr(gi) = PostingCodec.decodeDocIds(group(gi).docs_enc, group(gi).n)
           gi += 1
         }
-        acc.foreach { case (d, s) => offer(d, s) }
+        val impArr = new Array[Array[Double]](present)
+        @inline def imps(ti: Int): Array[Double] = {
+          if (impArr(ti) == null)
+            impArr(ti) = decodeImp(group(ti).impacts_enc, group(ti).n)
+          impArr(ti)
+        }
+        val ptr = new Array[Int](present)
+        val alive = new Array[Int](present)
+        var running = true
+        while (running) {
+          // alive lists, insertion-sorted by head doc (present is tiny)
+          var na = 0
+          gi = 0
+          while (gi < present) {
+            if (ptr(gi) < docArr(gi).length) {
+              val hd = docArr(gi)(ptr(gi))
+              var j = na
+              while (j > 0 &&
+                  docArr(alive(j - 1))(ptr(alive(j - 1))) > hd) {
+                alive(j) = alive(j - 1); j -= 1
+              }
+              alive(j) = gi; na += 1
+            }
+            gi += 1
+          }
+          if (na == 0) running = false
+          else {
+            val hth = threshold
+            val th = if (initThreshold > hth) initThreshold else hth
+            var ub = 0.0
+            var p = 0
+            while (p < na && ub < th) { ub += group(alive(p)).block_max; p += 1 }
+            if (ub < th) running = false // Σ alive bounds < th: group spent
+            else {
+              val pivotIdx = if (p == 0) 0 else p - 1
+              val pl = alive(pivotIdx)
+              val pivotDoc = docArr(pl)(ptr(pl))
+              if (docArr(alive(0))(ptr(alive(0))) == pivotDoc) {
+                // evaluate pivotDoc: sum lists whose head == pivotDoc in
+                // ascending term_id (= group) order, then advance them
+                val ok = allowed(pivotDoc)
+                var score = 0.0
+                gi = 0
+                while (gi < present) {
+                  if (ptr(gi) < docArr(gi).length &&
+                      docArr(gi)(ptr(gi)) == pivotDoc) {
+                    if (ok) score += imps(gi)(ptr(gi))
+                    ptr(gi) += 1
+                  }
+                  gi += 1
+                }
+                if (ok) offer(pivotDoc, score)
+              } else {
+                // advance lists with head < pivotDoc up to it
+                var i = 0
+                while (i < pivotIdx) {
+                  val li = alive(i)
+                  val arr = docArr(li)
+                  var lo = java.util.Arrays.binarySearch(
+                    arr, ptr(li), arr.length, pivotDoc)
+                  if (lo < 0) lo = -lo - 1
+                  ptr(li) = lo
+                  i += 1
+                }
+              }
+            }
+          }
+        }
       }
       group.clear()
     }

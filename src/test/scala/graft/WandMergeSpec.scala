@@ -74,4 +74,32 @@ class WandMergeSpec extends AnyFunSuite {
       rows2, nTerms = 2, k = 10, conjunctive = false).toList.sortBy(_._1)
     assert(union == List((0L, 1.0), (1L, 4.5), (3L, 0.5)))
   }
+
+  test("union WAND: below-threshold list is never decoded (k=1)") {
+    // list 1 fills the k=1 heap with score 10; list 2's block_max (0.5)
+    // then bounds every remaining doc strictly below the threshold, so
+    // its CORRUPT impact payload must never be decoded
+    val rows = Iterator(
+      BlockRow(1L, 0L, 2, PostingCodec.encodeDocIds(Array(0L, 1L)),
+        enc(Array(10.0, 9.0)), 10.0),
+      BlockRow(2L, 0L, 2, PostingCodec.encodeDocIds(Array(50L, 60L)),
+        Array[Byte](3), 0.5))
+    val out = Bm25Query.processPartition(
+      rows, nTerms = 2, k = 1, conjunctive = false).toList
+    assert(out == List((0L, 10.0)))
+  }
+
+  test("union WAND: equal-to-threshold docs are still evaluated (ties exact)") {
+    // doc 5 scores exactly the heap threshold (3.0) from a list whose
+    // block_max equals it — strictly-below-only skipping must evaluate
+    // it, and the tie-break (smaller doc_id) must keep doc 2
+    val rows = Iterator(
+      BlockRow(1L, 0L, 1, PostingCodec.encodeDocIds(Array(2L)),
+        enc(Array(3.0)), 3.0),
+      BlockRow(2L, 0L, 1, PostingCodec.encodeDocIds(Array(5L)),
+        enc(Array(3.0)), 3.0))
+    val out = Bm25Query.processPartition(
+      rows, nTerms = 2, k = 1, conjunctive = false).toList
+    assert(out == List((2L, 3.0)))
+  }
 }
