@@ -118,8 +118,10 @@ object Bench {
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
       .mkString("{", ",", "}")
+    // "failed" rides in the headline so a cross-round total comparison
+    // cannot mistake a dropped (broken) query for a speedup
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"classes":$cs,"errors":$es,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":${errors.size},"queries":$qs,"classes":$cs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

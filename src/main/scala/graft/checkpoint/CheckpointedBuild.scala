@@ -288,6 +288,17 @@ object CheckpointedBuild {
       onUnitCommitted("terms", 0)
     }
     val termsR = spark.read.parquet(s"$outDir/terms")
+    // dictionary row count WITHOUT a scan: the terms stage committed it
+    // to the manifest (whether in this run or the one being resumed)
+    val numTerms = manifest(spark, outDir)
+      .where(col("stage") === "terms").head().getAs[Long]("rows")
+    // term_id collision guard (mirrors IndexBuilder.buildFromTf): since
+    // the postings stage joins on the COMPUTED xxhash64 id, a dictionary
+    // collision would silently merge two terms' postings — fail loudly.
+    val collided = termsR.groupBy("term_id")
+      .agg(count(lit(1)).as("c")).where(col("c") > 1).limit(1).count()
+    require(collided == 0L,
+      "term_id (xxhash64) collision in dictionary — two terms share an id")
 
     // ---- stage 4: postings with impacts
     if (!isCommitted(s"$outDir/postings")) {
@@ -299,7 +310,7 @@ object CheckpointedBuild {
       // making this stage zero-shuffle (see IndexBuilder.buildFromTf)
       val dict = termsR.select("term_id", "idf")
       val dictSide =
-        if (termsR.count() <= graft.index.IndexBuilder.DictBroadcastMaxTerms)
+        if (numTerms <= graft.index.IndexBuilder.DictBroadcastMaxTerms)
           broadcast(dict)
         else dict
       tfR.withColumn("term_id", xxhash64(col("term"))).drop("term")

@@ -36,11 +36,11 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
 
   /** Raw token-frequency rows (term, doc_id, tf[, doc_len]) — the build
     * intermediate every derived table re-reads on rebuilds. Batch builds
-    * write it at {path}/tf; checkpointed builds at {path}/tf/slice=*.
+    * write it at {path}/tf; checkpointed builds at {path}/tf/slice=p,
+    * which the same read covers via partition discovery (commit markers
+    * are underscore-prefixed and ignored by the reader).
     */
-  lazy val tfRows: DataFrame =
-    try spark.read.parquet(s"$path/tf")
-    catch { case _: Throwable => spark.read.parquet(s"$path/tf/slice=*") }
+  lazy val tfRows: DataFrame = spark.read.parquet(s"$path/tf")
 
   /** (num_buckets, block_bits) recorded at build time; None for a legacy
     * (pre-bucketed) blocks layout.

@@ -627,22 +627,28 @@ object Bm25Query {
     val kk = clampK(k)
     if (isShortQuery(query))
       return allDocsFallback(index, kk, Nil, Nil, allowedDocs)
-    val allowedIds = allowedDocs.select(col("doc_id").cast("long"))
-    val nAllowed = allowedIds.count()
-    if (nAllowed == 0) return emptyHits(spark)
+    // ONE job resolves the mode in the common case: collect up to cap+1
+    // distinct ids — under the cap that IS the full allow set (no
+    // separate count() pass; distinct also makes a duplicate-bearing
+    // input count against the broadcast budget only once)
+    val lim = math.min(maxBroadcastDocs + 1, Int.MaxValue.toLong - 1).toInt
+    val allowedIds = allowedDocs.select(col("doc_id").cast("long")).distinct()
+    val sample = allowedIds.limit(lim).as[Long].collect()
+    if (sample.isEmpty) return emptyHits(spark)
     val filter: Option[DocFilter] =
-      if (nAllowed <= maxBroadcastDocs) {
-        val arr = allowedIds.as[Long].collect()
-        java.util.Arrays.sort(arr)
-        Some(DocFilter(arr, isAllow = true))
-      } else if (index.stats.num_docs - nAllowed <= maxBroadcastDocs) {
-        // dense filter: ship the complement as a deny list
-        val arr = index.docs.select(col("doc_id"))
+      if (sample.length <= maxBroadcastDocs) {
+        java.util.Arrays.sort(sample)
+        Some(DocFilter(sample, isAllow = true))
+      } else {
+        // dense filter: ship the complement as a deny list if IT fits
+        val comp = index.docs.select(col("doc_id"))
           .join(allowedIds, Seq("doc_id"), "left_anti")
-          .as[Long].collect()
-        java.util.Arrays.sort(arr)
-        Some(DocFilter(arr, isAllow = false))
-      } else None
+          .limit(lim).as[Long].collect()
+        if (comp.length <= maxBroadcastDocs) {
+          java.util.Arrays.sort(comp)
+          Some(DocFilter(comp, isAllow = false))
+        } else None
+      }
     filter match {
       case Some(f) =>
         scoredBlocks(index, query, kk, conjunctive, adaptiveThreshold,

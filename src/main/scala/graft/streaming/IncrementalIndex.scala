@@ -74,9 +74,22 @@ object IncrementalIndex {
     * staleness removed at query time instead of compaction time).
     */
   def currentTf(spark: SparkSession, indexDir: String): DataFrame = {
-    val tf = spark.read.parquet(s"$indexDir/stream_tf/batch=*")
-    val latest = tf.groupBy("doc_id").agg(max("batch").as("batch"))
-    tf.join(latest, Seq("doc_id", "batch"))
+    // mergeSchema: a long-lived stream dir may mix v1 batches (no
+    // doc_len) with v2 batches. v1 rows are healed EXACTLY — doc_len is
+    // by definition the per-(doc, batch) sum of tf, so a window sum
+    // reconstructs it; v2 rows keep their carried value (coalesce). An
+    // all-v2 dir short-circuits past the window (no extra shuffle).
+    val tf = spark.read.option("mergeSchema", "true")
+      .parquet(s"$indexDir/stream_tf/batch=*")
+    val withLen =
+      if (!tf.columns.contains("doc_len"))
+        tf.withColumn("doc_len", sum("tf").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "batch")))
+      else if (tf.where(col("doc_len").isNull).isEmpty) tf
+      else tf.withColumn("doc_len", coalesce(col("doc_len"), sum("tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "batch"))))
+    val latest = withLen.groupBy("doc_id").agg(max("batch").as("batch"))
+    withLen.join(latest, Seq("doc_id", "batch"))
       .select("term", "doc_id", "tf", "doc_len")
   }
 

@@ -17,6 +17,26 @@ class StreamingSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
+  test("currentTf heals v1 batches (no doc_len) exactly via per-batch tf sums") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft-stream-v1v2").toString
+    // v1 batch (pre-doc_len schema), written directly as a legacy dir
+    Seq(("alpha", 1L, 2, 0L), ("beta", 1L, 3, 0L), ("gamma", 2L, 4, 0L))
+      .toDF("term", "doc_id", "tf", "batch")
+      .write.parquet(s"$idx/stream_tf/batch=0")
+    // v2 batch carrying doc_len (doc 2 re-indexed: latest wins)
+    Seq(("delta", 2L, 7, 1L, 7L))
+      .toDF("term", "doc_id", "tf", "batch", "doc_len")
+      .write.parquet(s"$idx/stream_tf/batch=1")
+    val got = IncrementalIndex.currentTf(spark, idx)
+      .select("term", "doc_id", "tf", "doc_len")
+      .as[(String, Long, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("alpha", 1L, 2, 5L), // healed: 2 + 3
+      ("beta", 1L, 3, 5L),
+      ("delta", 2L, 7, 7L))) // v2 value kept; batch-0 doc 2 superseded
+  }
+
   test("incremental stream ingests new files and updates overwrite old state") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft-stream-src").toString
