@@ -273,7 +273,8 @@ object IndexBuilder {
       outDir: String,
       blockBits: Int = PostingBlocks.DefaultBlockBits,
       numBuckets: Int = -1,
-      quantizeImpacts: Boolean = false): BuiltIndex = {
+      quantizeImpacts: Boolean = false,
+      maxBroadcastTerms: Long = DictBroadcastMaxTerms): BuiltIndex = {
     import spark.implicits._
     val buckets =
       if (numBuckets > 0) numBuckets
@@ -344,7 +345,7 @@ object IndexBuilder {
     val dictJoined = tfWithLen
       .withColumn("term_id", xxhash64(col("term"))).drop("term")
       .join(
-        if (numTerms <= DictBroadcastMaxTerms) broadcast(dict) else dict,
+        if (numTerms <= maxBroadcastTerms) broadcast(dict) else dict,
         Seq("term_id"))
     val postObs = org.apache.spark.sql.Observation("postings_n")
     val postings = dictJoined

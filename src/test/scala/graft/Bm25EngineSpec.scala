@@ -175,6 +175,28 @@ class Bm25EngineSpec extends AnyFunSuite {
       sparse.where(col("doc_id") < 0)).collect().isEmpty)
   }
 
+  test("web-vocab (non-broadcast) postings path builds an identical index") {
+    import org.apache.spark.sql.functions.col
+    // maxBroadcastTerms=0 forces the shuffle-join branch that a web-scale
+    // dictionary would take; every serving table must equal the
+    // broadcast build bit-for-bit
+    val dirB = java.nio.file.Files.createTempDirectory("graft-bigvocab").toString
+    val idxB = graft.index.IndexBuilder.buildFromTf(spark,
+      spark.read.parquet(s"${index.path}/tf"),
+      spark.read.parquet(s"${index.path}/docs"),
+      dirB, blockBits = 6, maxBroadcastTerms = 0L)
+    def canon(df: org.apache.spark.sql.DataFrame, cols: String*): Seq[String] =
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    assert(canon(idxB.postings, "term_id", "doc_id", "impact") ==
+      canon(index.postings, "term_id", "doc_id", "impact"))
+    assert(canon(idxB.blocks, "term_id", "block_id", "n", "block_max") ==
+      canon(index.blocks, "term_id", "block_id", "n", "block_max"))
+    assert(idxB.stats == index.stats)
+    val q = s"${PagesCorpus.vocab(3)} ${PagesCorpus.vocab(7)}"
+    assert(Bm25Query.searchBlocks(idxB, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq ==
+      Bm25Query.searchBlocks(index, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq)
+  }
+
   test("urls and ranks are attached correctly") {
     val hits = Bm25Query.searchNaive(index, PagesCorpus.vocab(5), 10).collect()
     assert(hits.nonEmpty)
