@@ -24,6 +24,7 @@ object Bench {
     "j1_conjunctive" -> "conjunctive",
     "p5_filtered_search" -> "conjunctive",
     "p5_filtered_blocks" -> "conjunctive",
+    "p5_dense_filter_blocks" -> "conjunctive",
     "k3_boosted_topk" -> "conjunctive",
     "k1_bm25_topk_or" -> "disjunctive",
     "p4_short_query" -> "disjunctive",
@@ -32,6 +33,9 @@ object Bench {
     "p8_snippet" -> "needle",
     "p3_regex_accel" -> "regex",
     "p3_regex_fullscan" -> "regex",
+    "p3_regex_alt" -> "regex",
+    "p3_regex_prefix" -> "regex",
+    "p3_regex_suffix" -> "regex",
     // index/aggregate derivations
     "a1_postings" -> "agg",
     "a6_doclen" -> "agg",
@@ -66,6 +70,9 @@ object Bench {
     "sym_extract" -> "symbols",
     "sym_search" -> "symbols",
     "sym_search_indexed" -> "symbols",
+    "sym_web_extract" -> "symbols",
+    "sym_web_search" -> "symbols",
+    "sym_web_search_indexed" -> "symbols",
     // set ops
     "u2_except" -> "setops")
 

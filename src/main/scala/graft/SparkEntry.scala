@@ -75,6 +75,15 @@ object SparkEntry {
       out
     })
 
+  /** Web-structural symbols artifact (extractWeb over the html view). */
+  private val webSymbolsCache = TrieMap.empty[String, String]
+  private def webSymbolsFor(s: SparkSession, dir: String): String =
+    webSymbolsCache.getOrElseUpdate(dir, {
+      val out = Files.createTempDirectory("graft-gate-wsym").toString
+      Symbols.buildFrom(Symbols.extractWeb(webView(s, dir)), out)
+      out
+    })
+
   private def topkDf(s: SparkSession, dir: String, q: String, k: Int,
       conjunctive: Boolean, blocks: Boolean): DataFrame = {
     val hits =
@@ -83,17 +92,46 @@ object SparkEntry {
     hits.toDF().select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
-  /** Synthetic edges for the dependency-graph gates: every doc "links to"
-    * its source-group hub (the group's min doc_id) — an import-resolution
-    * join against a small broadcast target dictionary (J2 shape).
+  /** Deterministic html VIEW of the documents table: the driver corpus
+    * ships plain text, so the web-structure operators (href extraction,
+    * web symbols) gate over a deterministically derived html wrapper —
+    * the SAME construction on both sides of the oracle ([[WebViewCte]]),
+    * so what the gate verifies is the EXTRACTION, not the wrapper. Each
+    * page carries a title, an h1, the body text, an anchor to its
+    * source-group hub page and an anchor to its section-head page
+    * (doc_id rounded down to a multiple of 7).
+    */
+  private def webView(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val hub = d.groupBy("source").agg(min("doc_id").as("hub"))
+    val sec = (col("doc_id") - pmod(col("doc_id"), lit(7L))).cast("string")
+    d.join(hub, Seq("source"))
+      .select(
+        col("doc_id"), col("source"),
+        concat(lit("https://corpus.example/doc-"),
+          col("doc_id").cast("string")).as("url"),
+        concat(
+          lit("<html><head><title>"), col("source"),
+          lit(" overview</title></head><body><h1>"),
+          element_at(split(col("text"), " "), 1),
+          lit("</h1><p>"), col("text"),
+          lit("</p><a href=\"https://corpus.example/doc-"),
+          col("hub").cast("string"), lit("\">"), col("source"),
+          lit(" hub</a><a href=\"https://corpus.example/doc-"),
+          sec, lit("\">section "), sec,
+          lit("</a></body></html>")).as("html"))
+  }
+
+  /** Edges EXTRACTED from page content (round 4; previously synthetic):
+    * href attributes pulled out of the html view, resolved against the
+    * url->doc_id dictionary — the reference's parse-imports-then-resolve
+    * path (engine.rs:839-866, dependencies/mod.rs:87-137).
     */
   private def gateEdges(s: SparkSession, dir: String): DataFrame = {
-    val d = documents(s, dir)
-    val imports = d.select(
-      col("doc_id").as("from_doc"), col("source").as("import_key"))
-    val targets = d.groupBy(col("source").as("import_key"))
-      .agg(min("doc_id").as("to_doc"))
-    Deps.resolveEdges(imports, targets)
+    val w = webView(s, dir)
+    Deps.edgesFromHtml(
+      w.select("doc_id", "html"),
+      w.select(col("url").as("import_key"), col("doc_id").as("to_doc")))
   }
 
   /** Flagship query on sf=0.001: BM25 conjunctive top-10. */
@@ -108,9 +146,13 @@ object SparkEntry {
 
     "a1_postings" -> ((s, dir) => {
       // tf lives in the tf intermediate only — the postings/blocks serving
-      // artifacts carry impacts, which subsume tf at fixed BM25 constants
+      // artifacts carry impacts, which subsume tf at fixed BM25 constants.
+      // v3 tf rows carry term_id (the per-row string was cut from the
+      // intermediate); the string comes back from the dictionary — so this
+      // gate also proves the id<->string round-trip end to end.
       val idx = indexFor(s, dir)
-      idx.tfRows
+      idx.tfRows.select(col("term_id"), col("doc_id"), col("tf"))
+        .join(idx.terms.select(col("term_id"), col("term")), Seq("term_id"))
         .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"))
     }),
 
@@ -156,6 +198,16 @@ object SparkEntry {
       val allowed = documents(s, dir).where(col("lang") === "en").select("doc_id")
       Bm25Query.searchBlocksFiltered(indexFor(s, dir), "data join", 10,
         conjunctive = true, allowed).toDF()
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
+    // DENSE filter past the broadcast ceiling (maxBroadcastDocs=0 defeats
+    // both broadcasts): per-block filter shards bucket-joined with the
+    // blocks — the query stays on the block path (round 4)
+    "p5_dense_filter_blocks" -> ((s, dir) => {
+      val allowed = documents(s, dir).where(col("lang") === "en").select("doc_id")
+      Bm25Query.searchBlocksFiltered(indexFor(s, dir), "spark merge", 10,
+        conjunctive = true, allowed, maxBroadcastDocs = 0L).toDF()
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
 
@@ -328,6 +380,21 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 4).as("score"),
           col("n_matches"), col("first_line"))),
 
+    // --- web-structural symbols (round 4): title/heading/anchor kinds
+    //     extracted from html content — the real web extraction path ---
+    "sym_web_extract" -> ((s, dir) =>
+      Symbols.extractWeb(webView(s, dir))),
+
+    "sym_web_search" -> ((s, dir) =>
+      Symbols.search(Symbols.extractWeb(webView(s, dir)), "section 7", 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("n_matches"), col("first_line"))),
+
+    "sym_web_search_indexed" -> ((s, dir) =>
+      Symbols.searchIndexed(s, webSymbolsFor(s, dir), "section 7", 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("n_matches"), col("first_line"))),
+
     // --- U2: set difference (staleness-triage shape) ---
     "u2_except" -> ((s, dir) =>
       documents(s, dir).where(col("lang") === "en").select("doc_id")
@@ -342,6 +409,22 @@ object SparkEntry {
       graft.query.RegexQuery.search(indexFor(s, dir), documents(s, dir),
         "ba.ch", 1000).toDF().select("doc_id")),
 
+    // alternation: per-branch literal analysis -> union of branch
+    // candidate sets (round-4; previously a full corpus scan)
+    "p3_regex_alt" -> ((s, dir) =>
+      graft.query.RegexQuery.search(indexFor(s, dir), documents(s, dir),
+        "(vector|stream)\\s+\\w+", 1000).toDF().select("doc_id")),
+
+    // open-sided literals: prefix -> sorted-range dictionary lookup,
+    // suffix -> sorted range over the reversed-term dimension
+    "p3_regex_prefix" -> ((s, dir) =>
+      graft.query.RegexQuery.search(indexFor(s, dir), documents(s, dir),
+        "\\svect\\w+", 1000).toDF().select("doc_id")),
+
+    "p3_regex_suffix" -> ((s, dir) =>
+      graft.query.RegexQuery.search(indexFor(s, dir), documents(s, dir),
+        "\\w+tor\\s", 1000).toDF().select("doc_id")),
+
     // --- W2: fast-rank cut — rank on cheap metadata, rescore top slice ---
     "w2_fast_rank" -> ((s, dir) => {
       val top = documents(s, dir)
@@ -352,6 +435,65 @@ object SparkEntry {
     }))
 
   // ---------------------------------------------------------------------
+
+  /** DuckDB twin of [[webView]] (no leading WITH so it can splice into
+    * larger CTE chains): both sides derive the SAME html, so what the
+    * gates verify is the extraction over it.
+    */
+  private val WebViewBody =
+    """hubt AS (SELECT source, min(doc_id) AS hub FROM documents GROUP BY 1),
+      |w AS (SELECT d.doc_id, d.source,
+      |        '<html><head><title>' || d.source || ' overview</title></head><body><h1>' ||
+      |        string_split(d.text, ' ')[1] ||
+      |        '</h1><p>' || d.text || '</p><a href="https://corpus.example/doc-' ||
+      |        hubt.hub || '">' || d.source || ' hub</a><a href="https://corpus.example/doc-' ||
+      |        (d.doc_id - (d.doc_id % 7)) || '">section ' || (d.doc_id - (d.doc_id % 7)) ||
+      |        '</a></body></html>' AS html
+      |      FROM documents d JOIN hubt USING (source))""".stripMargin
+
+  /** href extraction + url-dictionary resolution (twin of
+    * Deps.edgesFromHtml over the view).
+    */
+  private val EdgesBody =
+    s"""$WebViewBody,
+       |links AS (SELECT doc_id AS from_doc,
+       |            unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS import_key
+       |          FROM w),
+       |dict AS (SELECT 'https://corpus.example/doc-' || doc_id AS import_key,
+       |                doc_id AS to_doc FROM documents),
+       |edges AS (SELECT from_doc, to_doc FROM links JOIN dict USING (import_key)
+       |          WHERE from_doc <> to_doc)""".stripMargin
+
+  private def symWebPart(alias: String, kind: String, pat: String): String =
+    s"""$alias AS (SELECT doc_id, '$kind' AS kind,
+       |  unnest(regexp_extract_all(html, '$pat', 1)) AS raw,
+       |  unnest(range(1, len(regexp_extract_all(html, '$pat', 1)) + 1)) AS ord
+       |  FROM w)""".stripMargin
+
+  /** Twin of Symbols.extractWeb over the view. */
+  private val SymWebBody =
+    s"""${symWebPart("swt", "title", "<title>([^<]*)</title>")},
+       |${symWebPart("swh", "heading", "<h[1-6]>([^<]*)</h[1-6]>")},
+       |${symWebPart("swa", "anchor", "<a[^>]*>([^<]*)</a>")},
+       |swu AS (SELECT * FROM swt UNION ALL SELECT * FROM swh
+       |        UNION ALL SELECT * FROM swa),
+       |sy AS (SELECT doc_id, lower(trim(raw)) AS name, kind,
+       |              CAST(ord AS INT) AS line
+       |       FROM swu WHERE length(lower(trim(raw))) > 2)""".stripMargin
+
+  /** Twin of the web symbols-search semantics (scan and indexed gates
+    * must produce identical results).
+    */
+  private val SymWebSearchSql =
+    s"""WITH $WebViewBody,
+       |$SymWebBody,
+       |mt AS (SELECT doc_id, line,
+       |         CASE WHEN name = 'section 7' THEN 2.0 ELSE 1.0 END AS wt
+       |       FROM sy WHERE contains(name, 'section 7'))
+       |SELECT doc_id, round(CAST(sum(wt) AS DOUBLE), 4) AS score,
+       |       count(*) AS n_matches, min(line) AS first_line
+       |FROM mt GROUP BY doc_id
+       |ORDER BY sum(wt) DESC, doc_id ASC LIMIT 10""".stripMargin
 
   private val Tok =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 2)"
@@ -568,6 +710,9 @@ object SparkEntry {
     "p5_filtered_blocks" ->
       bm25Sql(Seq("data", "join"), conjunctive = true, k = 10, langFilter = Some("en")),
 
+    "p5_dense_filter_blocks" ->
+      bm25Sql(Seq("spark", "merge"), conjunctive = true, k = 10, langFilter = Some("en")),
+
     "w1_top_per_source" ->
       """SELECT source, doc_id, rn FROM (
         |  SELECT source, doc_id,
@@ -688,23 +833,20 @@ object SparkEntry {
       "SELECT source, count(*) AS n_docs FROM documents GROUP BY source",
 
     "j2_resolve" ->
-      """WITH tgt AS (SELECT source, min(doc_id) AS to_doc FROM documents GROUP BY 1)
-        |SELECT d.doc_id AS from_doc, tgt.to_doc AS to_doc
-        |FROM documents d JOIN tgt USING (source) WHERE d.doc_id <> tgt.to_doc""".stripMargin,
+      s"WITH $EdgesBody SELECT from_doc, to_doc FROM edges",
 
     "a3_edges_indegree" ->
-      """WITH tgt AS (SELECT source, min(doc_id) AS to_doc FROM documents GROUP BY 1)
-        |SELECT tgt.to_doc AS doc_id, count(*) AS in_degree
-        |FROM documents d JOIN tgt USING (source) WHERE d.doc_id <> tgt.to_doc
-        |GROUP BY tgt.to_doc""".stripMargin,
+      s"""WITH $EdgesBody
+         |SELECT to_doc AS doc_id, count(*) AS in_degree
+         |FROM edges GROUP BY 1""".stripMargin,
 
     "j4_dependents" ->
-      """WITH s0 AS (SELECT source FROM documents WHERE doc_id = 0),
-        |hub AS (SELECT min(doc_id) AS h FROM documents
-        |        WHERE source = (SELECT source FROM s0))
-        |SELECT doc_id AS from_doc FROM documents
-        |WHERE source = (SELECT source FROM s0)
-        |  AND doc_id <> (SELECT h FROM hub)""".stripMargin,
+      s"""WITH $EdgesBody,
+         |s0 AS (SELECT source FROM documents WHERE doc_id = 0),
+         |hubx AS (SELECT min(doc_id) AS h FROM documents
+         |         WHERE source = (SELECT source FROM s0))
+         |SELECT from_doc FROM edges
+         |WHERE to_doc = (SELECT h FROM hubx)""".stripMargin,
 
     "k3_boosted_topk" ->
       s"""$TfCte,
@@ -718,10 +860,8 @@ object SparkEntry {
          |              ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doc_len / st.avgdl)))) AS s
          |       FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), st),
          |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY 1 HAVING count(*) = 2),
-         |tgt AS (SELECT source, min(doc_id) AS hub FROM documents GROUP BY 1),
-         |ind AS (SELECT tgt.hub AS doc_id, count(*) AS n
-         |        FROM documents d JOIN tgt ON d.source = tgt.source AND d.doc_id <> tgt.hub
-         |        GROUP BY tgt.hub),
+         |$EdgesBody,
+         |ind AS (SELECT to_doc AS doc_id, count(*) AS n FROM edges GROUP BY 1),
          |rnk AS (SELECT doc_id, 1.0 + log10(n) * 0.5 AS sr FROM ind)
          |SELECT agg.doc_id AS doc_id,
          |       round(agg.score * coalesce(rnk.sr, 1.0), 4) AS score
@@ -784,6 +924,15 @@ object SparkEntry {
     // identical results contract: the indexed path must equal the scan path
     "sym_search_indexed" -> SymSearchSql,
 
+    "sym_web_extract" ->
+      s"""WITH $WebViewBody,
+         |$SymWebBody
+         |SELECT doc_id, name, kind, line FROM sy""".stripMargin,
+
+    "sym_web_search" -> SymWebSearchSql,
+
+    "sym_web_search_indexed" -> SymWebSearchSql,
+
     "p3_regex_accel" ->
       """SELECT doc_id FROM documents
         |WHERE regexp_matches(lower(text), 'spark\s+\w+\s+merge')""".stripMargin,
@@ -791,6 +940,18 @@ object SparkEntry {
     "p3_regex_fullscan" ->
       """SELECT doc_id FROM documents
         |WHERE regexp_matches(lower(text), 'ba.ch')""".stripMargin,
+
+    "p3_regex_alt" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(lower(text), '(vector|stream)\s+\w+')""".stripMargin,
+
+    "p3_regex_prefix" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(lower(text), '\svect\w+')""".stripMargin,
+
+    "p3_regex_suffix" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(lower(text), '\w+tor\s')""".stripMargin,
 
     "u2_except" ->
       """SELECT doc_id FROM documents WHERE lang = 'en'

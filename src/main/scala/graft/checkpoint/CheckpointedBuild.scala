@@ -103,18 +103,28 @@ object CheckpointedBuild {
     val fpColumn =
       if (hasHtml) xxhash64(col("doc_id"), col("url"), col("html"))
       else xxhash64(col("doc_id"), col("url"), col("text"))
-    def sliceFingerprint(p: Int): String = {
-      val (sLo, sHi) = sliceRange(p)
-      val r = pagesRaw
-        .where(col("doc_id") >= sLo && col("doc_id") < sHi)
-        .agg(sum(fpColumn.cast("decimal(38,0)"))).head()
-      if (r.isNullAt(0)) "empty"
-      else {
-        val m = BigInt(2).pow(64)
-        val v = (BigInt(r.getDecimal(0).toBigInteger).mod(m) + m).mod(m)
-        v.toString(16)
-      }
+    // ALL slice fingerprints in ONE aggregation pass: `doc_id DIV width`
+    // is exactly the slice assignment of sliceRange (the last slice's
+    // extension to hi+1 changes no assignment — no doc_id exceeds hi), so
+    // a single groupBy computes every per-slice sum. The previous
+    // per-slice filtered scans were only cheap when parquet min/max
+    // pruning on doc_id happened to align with the input file layout; on
+    // an unordered input they were `slices` full passes. Computed lazily
+    // once per build call (input is assumed stable for the build's
+    // duration — the same assumption the per-slice scans made between
+    // triage and commit).
+    lazy val sliceFps: Map[Int, String] = {
+      val m = BigInt(2).pow(64)
+      pagesRaw
+        .groupBy(expr(s"CAST((doc_id - ($lo)) DIV $width AS INT)").as("p"))
+        .agg(sum(fpColumn.cast("decimal(38,0)")).as("s"))
+        .collect()
+        .map { r =>
+          val v = (BigInt(r.getDecimal(1).toBigInteger).mod(m) + m).mod(m)
+          r.getInt(0) -> v.toString(16)
+        }.toMap
     }
+    def sliceFingerprint(p: Int): String = sliceFps.getOrElse(p, "empty")
 
     // ---- config fingerprint (reference: config.rs:266-296): a resume
     // whose build config differs from the one the committed units were
@@ -126,9 +136,10 @@ object CheckpointedBuild {
       "extract" -> Extract.Version.toString,
       "bm25" -> s"${Bm25.K1},${Bm25.B}",
       "blockBits" -> blockBits.toString,
-      // tf-slice schema version: v2 carries doc_len per row (a resume
-      // must not mix v1 and v2 slices under one parquet scan)
-      "tfSchema" -> "2")
+      // tf-slice schema version: v2 added doc_len per row, v3 replaced the
+      // per-row term string with (sparse term, term_id) — a resume must
+      // not mix slices of different schemas under one parquet scan
+      "tfSchema" -> "3")
     val configStr = config.map { case (k, v) => s"$k=$v" }.mkString(";")
     val priorConfig: Map[String, String] =
       try {
@@ -137,14 +148,33 @@ object CheckpointedBuild {
           .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
           .toMap
       } catch { case _: Throwable => Map.empty }
-    if (priorConfig.nonEmpty && priorConfig != config.toMap) {
+    // A dir with committed units but NO config manifest predates config
+    // fingerprinting entirely — its units were built under an UNKNOWN
+    // config (e.g. the v1 tf schema), and resuming them under the current
+    // one can silently mix schemas (doc_len null -> na.fill(0) -> wrong
+    // impacts). Treat "missing config" as "everything changed".
+    val committedWithoutConfig = priorConfig.isEmpty && {
+      val tfDir = Paths.get(outDir, "tf")
+      val tfCommits = Files.isDirectory(tfDir) && {
+        val it = Files.list(tfDir).iterator()
+        var found = false
+        while (!found && it.hasNext) found = isCommitted(it.next().toString)
+        found
+      }
+      tfCommits || Seq("docs", "terms", "postings", "blocks", "stats")
+        .exists(st => isCommitted(s"$outDir/$st"))
+    }
+    if (committedWithoutConfig ||
+        (priorConfig.nonEmpty && priorConfig != config.toMap)) {
       def derivedStages(key: String): Seq[String] = key match {
         case "blockBits" => Seq("blocks")
         case "bm25"      => Seq("terms", "postings", "blocks", "stats")
         case _           => Seq("tf", "docs", "terms", "postings", "blocks", "stats")
       }
-      val changed = (config.map(_._1) ++ priorConfig.keys).distinct
-        .filter(k => priorConfig.get(k) != config.toMap.get(k))
+      val changed =
+        if (committedWithoutConfig) Seq("missing-config")
+        else (config.map(_._1) ++ priorConfig.keys).distinct
+          .filter(k => priorConfig.get(k) != config.toMap.get(k))
       val victims = changed.flatMap(derivedStages).distinct
       victims.foreach {
         case "tf" =>
@@ -161,6 +191,7 @@ object CheckpointedBuild {
         case st =>
           rmrf(spark, s"$outDir/$st")
           if (st == "blocks") rmrf(spark, s"$outDir/blocks_meta")
+          if (st == "terms") rmrf(spark, s"$outDir/terms_rev")
           rmrf(spark, s"$outDir/manifest/${st}_0")
       }
       Seq(ManifestRow("config_reconcile", 0, victims.size, 0,
@@ -208,7 +239,8 @@ object CheckpointedBuild {
       val removed = triage.count(_ == "removed")
       if (stale + removed > 0) {
         // downstream tables are pure functions of ALL slices — invalidate
-        Seq("docs", "terms", "postings", "blocks", "blocks_meta", "stats")
+        Seq("docs", "terms", "terms_rev", "postings", "blocks",
+            "blocks_meta", "stats")
           .foreach(st => rmrf(spark, s"$outDir/$st"))
         Seq("docs", "terms", "postings", "blocks", "stats")
           .foreach(st => rmrf(spark, s"$outDir/manifest/${st}_0"))
@@ -275,30 +307,22 @@ object CheckpointedBuild {
     // row-group pruning, like IndexBuilder)
     if (!isCommitted(s"$outDir/terms")) {
       val t0 = System.nanoTime()
-      val obs = org.apache.spark.sql.Observation()
-      tfR.groupBy("term").agg(count(lit(1)).as("df"))
-        .withColumn("term_id", xxhash64(col("term")))
-        .withColumn("idf", Bm25.idfCol(numDocs, col("df")))
-        .observe(obs, count(lit(1)).as("n"))
-        .sortWithinPartitions("term")
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
-      commit(spark, outDir, s"$outDir/terms", ManifestRow("terms", 0,
-        obs.get("n").asInstanceOf[Long],
+      // shared dictionary writer (v3 tf: one groupBy(term_id), collision
+      // guard via min/max(term) riding the write as an Observation metric)
+      val n = graft.index.IndexBuilder.writeDictionary(
+        spark, tfR, numDocs, s"$outDir/terms")
+      commit(spark, outDir, s"$outDir/terms", ManifestRow("terms", 0, n,
         (System.nanoTime() - t0) / 1000000, "tf/slice=*", System.currentTimeMillis()))
       onUnitCommitted("terms", 0)
     }
     val termsR = spark.read.parquet(s"$outDir/terms")
     // dictionary row count WITHOUT a scan: the terms stage committed it
-    // to the manifest (whether in this run or the one being resumed)
+    // to the manifest (whether in this run or the one being resumed).
+    // The collision guard ran inside writeDictionary when the table was
+    // written — in this run or the resumed one (config-fingerprinted
+    // builds only resume tables their own code wrote).
     val numTerms = manifest(spark, outDir)
       .where(col("stage") === "terms").head().getAs[Long]("rows")
-    // term_id collision guard (mirrors IndexBuilder.buildFromTf): since
-    // the postings stage joins on the COMPUTED xxhash64 id, a dictionary
-    // collision would silently merge two terms' postings — fail loudly.
-    val collided = termsR.groupBy("term_id")
-      .agg(count(lit(1)).as("c")).where(col("c") > 1).limit(1).count()
-    require(collided == 0L,
-      "term_id (xxhash64) collision in dictionary — two terms share an id")
 
     // ---- stage 4: postings with impacts
     if (!isCommitted(s"$outDir/postings")) {
@@ -313,7 +337,7 @@ object CheckpointedBuild {
         if (numTerms <= graft.index.IndexBuilder.DictBroadcastMaxTerms)
           broadcast(dict)
         else dict
-      tfR.withColumn("term_id", xxhash64(col("term"))).drop("term")
+      tfR.drop("term") // v3 slices carry the computed term_id already
         .join(dictSide, Seq("term_id"))
         .select(col("term_id"), col("doc_id"),
           Bm25.impactCol(col("tf").cast("double"),

@@ -152,13 +152,23 @@ object PagesCorpus {
     }
     // rows on the ISO-8859-1 encoding case (html(), row%20==3) carry a
     // Latin-1 tail so the fallback branch decodes real high bytes — all
-    // in 0xA0-0xFF, per the deterministic-subset contract (Extract)
+    // in 0xA0-0xFF, per the deterministic-subset contract (Extract);
+    // rows on the windows-1252 case (row%20==7) carry C1-range chars
+    // (curly quotes, em-dash, euro) so the cp1252 branch decodes real
+    // 0x80-0x9F bytes
     if (row % 20 == 3) sb.append(Latin1Tail)
+    if (row % 20 == 7) sb.append(Cp1252Tail)
     sb.toString
   }
 
   /** Non-ASCII (0xA0-0xFF only) tail for the Latin-1 encoding case. */
   val Latin1Tail = " caféresumé münchen nöise"
+
+  /** Tail with C1-encoded chars for the windows-1252 case: curly quotes
+    * (0x93/0x94), em-dash (0x97), euro (0x80) — all in 0x80-0x9F, plus a
+    * printable-range ï (0xEF).
+    */
+  val Cp1252Tail = " \u201cquoted\u201d na\u00efve\u2014dash \u20ac9"
 
   /** Ground-truth EXTRACTED text (what the transcoder must reproduce
     * byte-identically per url). A BOM'd UTF-8 buffer is itself valid
@@ -185,6 +195,8 @@ object PagesCorpus {
           t.getBytes(StandardCharsets.UTF_8)
       case 3 => // BOM-less ISO-8859-1 (deterministic chardetng subset)
         t.getBytes(StandardCharsets.ISO_8859_1)
+      case 7 => // BOM-less windows-1252 (C1 bytes -> cp1252 branch)
+        t.getBytes(java.nio.charset.Charset.forName("windows-1252"))
       case _ => t.getBytes(StandardCharsets.UTF_8)
     }
   }

@@ -30,11 +30,40 @@ object Deps {
     * `targets(import_key, to_doc)` (small — broadcast side). Self-edges
     * dropped like the reference (mod.rs:105 `from != to`).
     */
-  def resolveEdges(imports: DataFrame, targets: DataFrame): DataFrame =
+  def resolveEdges(imports: DataFrame, targets: DataFrame,
+      broadcastTargets: Boolean = true): DataFrame =
     imports
-      .join(broadcast(targets), Seq("import_key"))
+      .join(if (broadcastTargets) broadcast(targets) else targets,
+        Seq("import_key"))
       .where(col("from_doc") =!= col("to_doc"))
       .select("from_doc", "to_doc")
+
+  /** href-attribute extraction from html content — the web analog of the
+    * reference's import parsing out of file content (engine.rs:839-866 +
+    * dependencies/mod.rs:87-137 parse imports per language; a web page's
+    * "imports" are its anchors). Pure Catalyst `regexp_extract_all`,
+    * codegen'd, no UDF.
+    */
+  val HrefPattern = "href=\"([^\"]+)\""
+
+  def hrefs(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract_all(html, lit(HrefPattern), lit(1))
+
+  /** Full content path: pages(doc_id, html) -> resolved edges. The url
+    * dictionary `urlToDoc(import_key, to_doc)` (one row per known page
+    * url) broadcasts into the resolution join; hrefs pointing outside the
+    * corpus simply do not resolve (inner join) — the reference drops
+    * unresolvable imports the same way (mod.rs:118-123).
+    */
+  def edgesFromHtml(pages: DataFrame, urlToDoc: DataFrame): DataFrame =
+    // NO broadcast hint: a full-corpus url dictionary is doc-count-sized
+    // (way past any executor broadcast budget at web scale) — the join
+    // shuffles on the url key, and AQE upgrades it to a broadcast join at
+    // runtime whenever the dictionary actually is small
+    resolveEdges(
+      pages.select(col("doc_id").as("from_doc"),
+        explode(hrefs(col("html"))).as("import_key")),
+      urlToDoc, broadcastTargets = false)
 
   /** A3: in-degree per target doc. */
   def inDegree(edges: DataFrame): DataFrame =

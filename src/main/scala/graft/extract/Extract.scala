@@ -32,8 +32,9 @@ object Extract {
   /** Bumped whenever extraction/safety semantics change — part of the
     * checkpoint config fingerprint (see CheckpointedBuild).
     * v2: deterministic ISO-8859-1 fallback branch.
+    * v3: deterministic windows-1252 branch (C1 bytes present).
     */
-  val Version = 2
+  val Version = 3
 
   // decoders are reused per thread — a fresh CharsetDecoder per row was
   // measurable allocation/GC pressure in the extraction stage, which is
@@ -109,26 +110,41 @@ object Extract {
     }
     // Reference falls through to chardetng here (utils.rs:59-68). The
     // statistical detector is not reproducible on the JVM, so this engine
-    // implements the DETERMINISTIC SUBSET of its verdicts: accept
-    // ISO-8859-1 only when it is the unambiguous choice — content not
-    // binary-looking AND every non-ASCII byte in the printable Latin-1
-    // range 0xA0-0xFF. Bytes 0x80-0x9F are C1 controls in ISO-8859-1
-    // (real pages with them are windows-1252, a guess we refuse to make),
-    // so their presence rejects as ambiguous. This recovers the common
-    // BOM-less Latin-1 page a web crawl actually contains; everything
-    // else still rejects rather than guessing.
+    // implements DETERMINISTIC single-byte rules in its place:
+    //
+    //   - non-binary content with at least one C1 byte (0x80-0x9F):
+    //     decode as windows-1252. Real pages never carry C1 CONTROLS;
+    //     they carry cp1252's smart quotes/dashes/€ in that range, which
+    //     is chardetng's own Latin-leaning verdict for such content. The
+    //     decode table is fixed; the 5 UNDEFINED cp1252 bytes (0x81 0x8D
+    //     0x8F 0x90 0x9D) make the strict decoder reject — those really
+    //     are ambiguous.
+    //   - non-binary content whose every high byte is printable Latin-1
+    //     (0xA0-0xFF): decode as ISO-8859-1.
+    //
+    // HONESTY NOTE (not a "subset of chardetng"): KOI8-R / ISO-8859-5/7
+    // pages also live entirely in 0xA0-0xFF, and chardetng would decode
+    // those as Cyrillic/Greek where these rules emit Latin-1 mojibake.
+    // The trade made here is reproducibility over per-page statistical
+    // guessing; the common Latin-script web page decodes correctly, and
+    // the divergence is confined to unlabeled non-Latin single-byte
+    // pages (documented restriction, SURVEY.md §7.4).
     if (!isBinaryBytes(bytes)) {
-      var ok = false // at least one high byte, else UTF-8 would have won
+      var anyC1 = false
+      var anyHigh = false
       var i = 0
       while (i < bytes.length) {
         val b = bytes(i) & 0xff
         if (b >= 0x80) {
-          if (b < 0xA0) return None // C1 range: ambiguous, reject
-          ok = true
+          anyHigh = true
+          if (b < 0xA0) anyC1 = true
         }
         i += 1
       }
-      if (ok) return Some(new String(bytes, StandardCharsets.ISO_8859_1))
+      if (anyC1)
+        return strictDecode(bytes, 0,
+          java.nio.charset.Charset.forName("windows-1252"))
+      if (anyHigh) return Some(new String(bytes, StandardCharsets.ISO_8859_1))
     }
     None
   }

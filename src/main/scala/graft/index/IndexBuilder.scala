@@ -34,6 +34,23 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
   lazy val terms: DataFrame = spark.read.parquet(s"$path/terms")
   lazy val postings: DataFrame = spark.read.parquet(s"$path/postings")
 
+  /** Reversed-term dimension (term_rev, term_id), files sorted by
+    * term_rev: suffix dictionary lookups (`%foo` from regex literal
+    * analysis) become sorted-range predicates that prune row groups —
+    * the mirror of the sorted `terms` files serving prefix ranges. A
+    * pre-round-4 index without the artifact derives it on the fly
+    * (correct, unpruned).
+    */
+  lazy val termsRev: DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/terms_rev")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$path/terms_rev")
+    else terms.select(
+      org.apache.spark.sql.functions.reverse(
+        org.apache.spark.sql.functions.col("term")).as("term_rev"),
+      org.apache.spark.sql.functions.col("term_id"))
+  }
+
   /** Raw token-frequency rows (term, doc_id, tf[, doc_len]) — the build
     * intermediate every derived table re-reads on rebuilds. Batch builds
     * write it at {path}/tf; checkpointed builds at {path}/tf/slice=p,
@@ -218,7 +235,44 @@ object IndexBuilder {
     * counts — the tf stage is memory-bandwidth-bound, so heap bytes
     * touched per doc is the per-node scaling lever.
     */
+  /** v3 tf schema (term sparse, term_id, doc_id, tf, doc_len): the term
+    * STRING was ~half the tf bytes through the memory bus (the build's
+    * binding resource on a single node — BENCH/BASELINE.md), and every
+    * derived table only needs the 8-byte term_id. The string is emitted
+    * ONCE PER PARTITION (first sight, tracked by an open-addressed id
+    * set), null on every repeat — parquet definition levels make the null
+    * runs nearly free, and the dictionary recovers the strings with
+    * `min/max(term)` over the id groups (each partition guarantees one
+    * non-null occurrence per term it contains, so min/max never see an
+    * all-null group). term_id is computed with the SAME xxhash64(seed 42)
+    * as the Catalyst function ([[Tokenizer.termId]], parity-tested), so
+    * declarative consumers can re-derive it; min≠max in a group is the
+    * collision guard's loud-failure signal.
+    */
   def termFrequencies(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val seen = new graft.tokenize.SeenTermIds
+        rows.flatMap { case (id, text) =>
+          val tc = Tokenizer.termFrequencies(text)
+          val dl = tc.total
+          tc.iterator.map { case (t, c) =>
+            val tid = Tokenizer.termId(t)
+            (if (seen.add(tid)) t else null, tid, id, c, dl)
+          }
+        }
+      }.toDF("term", "term_id", "doc_id", "tf", "doc_len")
+  }
+
+  /** v2 tf schema (term dense per row) — kept for the STREAMING path:
+    * latest-wins batch views can drop the rows carrying a term's only
+    * non-null string while keeping other rows of the same term, which
+    * would break the sparse-string recovery above. Batch builds (where
+    * the whole tf table is one consistent snapshot) use the sparse v3.
+    */
+  def termFrequenciesDense(pages: DataFrame): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -227,6 +281,72 @@ object IndexBuilder {
         val dl = tc.total
         tc.iterator.map { case (t, c) => (t, id, c, dl) }
       }.toDF("term", "doc_id", "tf", "doc_len")
+  }
+
+  /** Build + write the term dictionary `(term, df, term_id, idf)` (files
+    * sorted by term so query-time In(term) prunes row groups) from either
+    * tf schema, with the xxhash64 collision guard; returns the dictionary
+    * row count. Shared by the batch and checkpointed builds.
+    *
+    *   - v3 tf (sparse strings + precomputed id): ONE groupBy(term_id) —
+    *     df is the group size, the string is min(term) (every partition
+    *     emits each of its terms' strings once, so groups are never
+    *     all-null); a hash collision (two strings, one id) surfaces as
+    *     min≠max, checked via an Observation metric riding on the write
+    *     (no second pass, unlike the v2 post-write table check).
+    *   - v2 tf (dense strings): groupBy(term) + post-write check of the
+    *     small dictionary table (one id, two rows).
+    */
+  def writeDictionary(spark: SparkSession, tfR: DataFrame, numDocs: Long,
+      termsDir: String): Long = {
+    val n = writeDictionaryMain(spark, tfR, numDocs, termsDir)
+    // reversed-term dimension (suffix regex lookups, see
+    // BuiltIndex.termsRev) — one tiny job over the dictionary itself
+    spark.read.parquet(termsDir)
+      .select(reverse(col("term")).as("term_rev"), col("term_id"))
+      .sortWithinPartitions("term_rev")
+      .write.mode("overwrite").parquet(s"${termsDir}_rev")
+    n
+  }
+
+  private def writeDictionaryMain(spark: SparkSession, tfR: DataFrame,
+      numDocs: Long, termsDir: String): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    if (tfR.columns.contains("term_id")) {
+      tfR.groupBy("term_id").agg(
+          count(lit(1)).as("df"),
+          min("term").as("term"), max("term").as("term_mx"))
+        .withColumn("idf", Bm25.idfCol(numDocs, col("df")))
+        .observe(obs, count(lit(1)).as("n"),
+          sum(when(col("term").isNull ||
+            col("term") =!= col("term_mx"), 1L).otherwise(0L)).as("bad"))
+        .select("term", "df", "term_id", "idf")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(termsDir)
+      val bad = obs.get("bad") match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
+      require(bad == 0L,
+        "term_id (xxhash64) collision in dictionary — two terms share an id")
+      obs.get("n").asInstanceOf[Long]
+    } else {
+      tfR.groupBy("term")
+        .agg(count(lit(1)).as("df"))
+        .withColumn("term_id", xxhash64(col("term")))
+        .withColumn("idf", Bm25.idfCol(numDocs, col("df")))
+        .observe(obs, count(lit(1)).as("n"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(termsDir)
+      // collision guard: xxhash64 collisions at 1e9+ terms would silently
+      // merge two terms' postings; fail the build loudly instead. One
+      // extra agg over the (already small) dictionary table.
+      val collided = spark.read.parquet(termsDir).groupBy("term_id")
+        .agg(count(lit(1)).as("c")).where(col("c") > 1).limit(1).count()
+      require(collided == 0L,
+        "term_id (xxhash64) collision in dictionary — two terms share an id")
+      obs.get("n").asInstanceOf[Long]
+    }
   }
 
   def build(spark: SparkSession, pagesDf: DataFrame, outDir: String,
@@ -265,9 +385,11 @@ object IndexBuilder {
   }
 
   /** Build the derived index tables (docs/terms/postings/blocks/stats)
-    * from token-frequency rows `(term, doc_id, tf[, doc_len])` and a docs dimension
-    * `(doc_id, url, doc_len)` — the shared tail of the batch build and
-    * the streaming compaction (IncrementalIndex.compact).
+    * from token-frequency rows — v3 `(term sparse, term_id, doc_id, tf,
+    * doc_len)`, v2 `(term, doc_id, tf, doc_len)` or legacy v1 `(term,
+    * doc_id, tf)` — and a docs dimension `(doc_id, url, doc_len)`; the
+    * shared tail of the batch build and the streaming compaction
+    * (IncrementalIndex.compact).
     */
   def buildFromTf(spark: SparkSession, tfR: DataFrame, docsDim: DataFrame,
       outDir: String,
@@ -299,29 +421,10 @@ object IndexBuilder {
     }
     val avgdl = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs.toDouble
 
-    // A4/A2: term dictionary with df and idf. Row counts for the stats
-    // table ride along as Observation metrics — no re-scan jobs (at corpus
-    // scale a bare .count() would re-read the whole table).
-    val termsObs = org.apache.spark.sql.Observation("terms_n")
-    val terms = tfR.groupBy("term")
-      .agg(count(lit(1)).as("df"))
-      .withColumn("term_id", xxhash64(col("term")))
-      .withColumn("idf", Bm25.idfCol(numDocs, col("df")))
-      .observe(termsObs, count(lit(1)).as("n"))
-    // sorted within files: query analysis pushes In(term) into this scan,
-    // and without within-file sort there are no useful row-group stats on
-    // `term` — round 1 paid a full dictionary scan per query here.
-    terms.sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$outDir/terms")
+    // A4/A2: term dictionary with df and idf (shared with the checkpointed
+    // build; handles both tf schemas + the collision guard).
+    val numTerms = writeDictionary(spark, tfR, numDocs, s"$outDir/terms")
     val termsR = spark.read.parquet(s"$outDir/terms")
-    // term_id collision guard: xxhash64 collisions at 1e9+ terms would
-    // silently merge two terms' postings; fail the build loudly instead.
-    // One extra agg over the (already small) dictionary table.
-    val collided = termsR.groupBy("term_id")
-      .agg(count(lit(1)).as("c")).where(col("c") > 1).limit(1).count()
-    require(collided == 0L,
-      "term_id (xxhash64) collision in dictionary — two terms share an id")
-    val numTerms = termsObs.get("n").asInstanceOf[Long]
 
     // Posting rows with precomputed BM25 impact. The serving artifact
     // needs only (term_id, doc_id, impact): tf is subsumed by the impact
@@ -341,9 +444,12 @@ object IndexBuilder {
     val tfWithLen =
       if (tfR.columns.contains("doc_len")) tfR
       else tfR.join(docsR.select("doc_id", "doc_len"), Seq("doc_id"))
+    // v3 tf rows already carry the computed term_id; v2 derives it here
+    val tfWithId =
+      if (tfWithLen.columns.contains("term_id")) tfWithLen.drop("term")
+      else tfWithLen.withColumn("term_id", xxhash64(col("term"))).drop("term")
     val dict = termsR.select("term_id", "idf")
-    val dictJoined = tfWithLen
-      .withColumn("term_id", xxhash64(col("term"))).drop("term")
+    val dictJoined = tfWithId
       .join(
         if (numTerms <= maxBroadcastTerms) broadcast(dict) else dict,
         Seq("term_id"))

@@ -104,8 +104,19 @@ object Dedup {
   /** Exact Jaccard verification of candidate (a,b) pairs: join each side
     * with its full shingle ARRAY (a compact per-doc dimension — two hash
     * joins on ids, no exploded shingle join), intersect inside codegen.
-    * Arrays above [[MaxVerifyShingles]] are bottom-k-capped (see there);
-    * the conditional branch costs nothing for in-contract docs.
+    *
+    * Docs above [[MaxVerifyShingles]] are represented by their bottom-k
+    * (smallest-xxhash64) shingle sketch; a pair touching a sketched doc
+    * uses the STANDARD KMV union estimator — Ĵ = |{x ∈ bottom-k(A∪B) :
+    * x ∈ A ∩ B}| / k — which is unbiased, unlike intersecting two
+    * independently capped sets over capped-size denominators (that
+    * under-estimates asymmetric pairs and silently drops true near-dups).
+    * bottom-k(A∪B) is computable from the two sketches (the k smallest
+    * of the union are among each side's k smallest), and membership in
+    * A∩B is decidable inside it for the same reason. Such pairs carry
+    * `estimated = true` so consumers can re-verify exactly if they care.
+    * In-contract docs (100 KB-line safety gate, web-page sizes) never
+    * cap: their pairs are exact with `estimated = false`.
     */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame,
       minJ: Double): DataFrame = {
@@ -114,21 +125,34 @@ object Dedup {
         .when(xxhash64(l) > xxhash64(r), lit(1)).otherwise(lit(0))
     val shArr = sh.groupBy("sid")
       .agg(collect_list(col("s")).as("arr0"))
+      .withColumn("capped", size(col("arr0")) > lit(MaxVerifyShingles))
       .withColumn("arr",
-        when(size(col("arr0")) <= lit(MaxVerifyShingles), col("arr0"))
+        when(!col("capped"), col("arr0"))
           .otherwise(slice(array_sort(col("arr0"), byHash), 1, MaxVerifyShingles)))
-      .withColumn("sz", size(col("arr")).cast("long"))
+      .withColumn("sz", size(col("arr0")).cast("long"))
       .drop("arr0")
-    cands
+    val joined = cands
       .join(shArr.select(col("sid").as("a"), col("arr").as("arr_a"),
-        col("sz").as("na")), Seq("a"))
+        col("sz").as("na"), col("capped").as("ca")), Seq("a"))
       .join(shArr.select(col("sid").as("b"), col("arr").as("arr_b"),
-        col("sz").as("nb")), Seq("b"))
-      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
-      .withColumn("j",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+        col("sz").as("nb"), col("capped").as("cb")), Seq("b"))
+    val inter = array_intersect(col("arr_a"), col("arr_b"))
+    val exactC = size(inter).cast("long")
+    val exactJ =
+      exactC.cast("double") / (col("na") + col("nb") - exactC).cast("double")
+    val estJ = {
+      // an uncapped side's full set is a superset of its bottom-k, so the
+      // k smallest of (arr_a ∪ arr_b) are exactly bottom-k(A ∪ B)
+      val union = array_sort(array_union(col("arr_a"), col("arr_b")), byHash)
+      val kk = least(size(union), lit(MaxVerifyShingles))
+      val sk = slice(union, lit(1), kk)
+      size(array_intersect(sk, inter)).cast("double") / kk.cast("double")
+    }
+    joined
+      .withColumn("estimated", col("ca") || col("cb"))
+      .withColumn("j", when(col("estimated"), estJ).otherwise(exactJ))
       .where(col("j") >= minJ)
-      .select("a", "b", "j")
+      .select("a", "b", "j", "estimated")
   }
 
   /** MinHash signatures: k hash functions h_i(s) = xxhash64(i, s), min per

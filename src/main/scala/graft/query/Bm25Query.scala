@@ -28,6 +28,14 @@ case class LineHit(
 case class BlockRow(term_id: Long, block_id: Long, n: Int,
     docs_enc: Array[Byte], impacts_enc: Array[Byte], block_max: Double)
 
+/** Block row joined with its co-located dense-filter shard (the sorted
+  * allowed-doc array of its docId range) — the dense-filter path's merge
+  * input (see Bm25Query.scoredBlocksSharded).
+  */
+case class BlockRowF(term_id: Long, block_id: Long, n: Int,
+    docs_enc: Array[Byte], impacts_enc: Array[Byte], block_max: Double,
+    allowed: Array[Long])
+
 /** BM25 top-k query engine over a [[BuiltIndex]].
   *
   * Query lifecycle mirrors the reference (SURVEY.md §3.1): tokenize + term
@@ -354,30 +362,41 @@ object Bm25Query {
         val (fArr, fAllow) =
           if (bcFilter == null) (null: Array[Long], true)
           else (bcFilter._1.value, bcFilter._2)
-        processPartition(it, nTerms, kk, conjunctive, initThreshold, q8,
-          fArr, fAllow)
+        processPartition(it.map(r => (r, fArr)), nTerms, kk, conjunctive,
+          initThreshold, q8, fAllow)
       }(org.apache.spark.sql.Encoders.product[(Long, Double)])
       .toDF("doc_id", "score")
     Some(candidates)
   }
 
-  /** Merge one partition's block groups. Rows arrive sorted by
-    * (block_id, term_id); each contiguous block_id run is one docId range.
+  /** Test-friendly unfiltered entry (WandMergeSpec drives the kernel
+    * directly).
     */
-  private[graft] def processPartition(it: Iterator[BlockRow], nTerms: Int, k: Int,
+  private[graft] def processPartition(it: Iterator[BlockRow], nTerms: Int,
+      k: Int, conjunctive: Boolean): Iterator[(Long, Double)] =
+    processPartition(it.map(r => (r, null: Array[Long])), nTerms, k,
+      conjunctive, Double.NegativeInfinity, q8 = false)
+
+  /** Merge one partition's block groups. Rows arrive sorted by
+    * (block_id, term_id) and PAIRED with their group's doc-filter array
+    * (null = unfiltered; identical within a block group — either one
+    * broadcast set for the whole query, or the block's co-located filter
+    * shard on the dense path). A filtered-out doc never reaches a heap,
+    * so heap thresholds are thresholds over the FILTERED doc set (exact).
+    */
+  private[graft] def processPartition(it: Iterator[(BlockRow, Array[Long])],
+      nTerms: Int, k: Int,
       conjunctive: Boolean,
-      initThreshold: Double = Double.NegativeInfinity,
-      q8: Boolean = false,
-      filterSorted: Array[Long] = null,
+      initThreshold: Double,
+      q8: Boolean,
       filterIsAllow: Boolean = true): Iterator[(Long, Double)] = {
     @inline def decodeImp(bytes: Array[Byte], n: Int): Array[Double] =
       if (q8) PostingCodec.decodeImpactsQ8(bytes, n)
       else PostingCodec.decodeImpacts(bytes, n)
-    // P5 pushed into the merge: a filtered-out doc never reaches a heap,
-    // so heap thresholds are thresholds over the FILTERED doc set (exact)
+    var curFilter: Array[Long] = null
     @inline def allowed(doc: Long): Boolean =
-      filterSorted == null ||
-      (java.util.Arrays.binarySearch(filterSorted, doc) >= 0) == filterIsAllow
+      curFilter == null ||
+      (java.util.Arrays.binarySearch(curFilter, doc) >= 0) == filterIsAllow
     // local top-k heap: head = current worst survivor
     val worstFirst: Ordering[(Long, Double)] = (a, b) => {
       val c = java.lang.Double.compare(b._2, a._2)
@@ -567,8 +586,10 @@ object Bm25Query {
       private var out: Iterator[(Long, Double)] = null
       private def run(): Unit = {
         while (it.hasNext) {
-          val r = it.next()
-          if (r.block_id != curBlock) { flush(); curBlock = r.block_id }
+          val (r, f) = it.next()
+          if (r.block_id != curBlock) {
+            flush(); curBlock = r.block_id; curFilter = f
+          }
           group += r
         }
         flush()
@@ -656,12 +677,90 @@ object Bm25Query {
           case None => emptyHits(spark)
           case Some(scored) => finish(index, scored, kk)
         }
+      case None if index.blocksBucketed =>
+        // DENSE filter (neither side broadcasts): per-block filter shards
+        // co-located with the bucketed blocks — stays on the block path
+        val (scoredOpt, cleanup) =
+          scoredBlocksSharded(index, query, kk, conjunctive, allowedIds)
+        try scoredOpt match {
+          case None => emptyHits(spark)
+          case Some(scored) => finish(index, scored, kk)
+        } finally cleanup()
       case None =>
-        // both sides too large to broadcast: exact declarative fallback
+        // legacy (unbucketed) blocks layout: exact declarative fallback
         scoredNaive(index, query, conjunctive) match {
           case None => emptyHits(spark)
           case Some(scored) => finish(index, restrictDf(scored, allowedIds.toDF("doc_id")), kk)
         }
     }
+  }
+
+  /** Dense-filter block scoring (VERDICT r3 #5 — removes the
+    * [[MaxBroadcastFilterDocs]] ceiling): the allow set is written as
+    * per-block_id SORTED-ARRAY shards bucketed EXACTLY like the blocks
+    * table (same bucket count, same key), then a bucketed sort-merge join
+    * co-locates each block's shard with its posting rows — zero Exchange
+    * on the blocks side; the merge applies the shard before any doc can
+    * enter a heap, so the filtered top-k stays exact.
+    *
+    * Costs one shuffle OF THE ALLOW SET (its groupBy into shards) — the
+    * floor for any exact dense filter — plus a temp bucketed table per
+    * query (dropped by the returned cleanup). The join is HINTED to
+    * sort-merge: a broadcast plan here would void the blocks scan's
+    * distribution requirement, letting Spark file-split a bucket and
+    * tear a (term_id, block_id) group across tasks — the documented
+    * silent-wrong-results hazard (BuiltIndex.blocks). Blocks of ranges
+    * with NO allowed docs drop out in the inner join before decode.
+    */
+  private[graft] def scoredBlocksSharded(index: BuiltIndex, query: String, k: Int,
+      conjunctive: Boolean,
+      allowedIds: DataFrame): (Option[DataFrame], () => Unit) = {
+    val spark = index.spark
+    import spark.implicits._
+    val a = analyze(index, query)
+    if (a.terms.isEmpty || (conjunctive && !a.allResolved))
+      return (None, () => ())
+    val kk = clampK(k)
+    val qids = a.terms.map(_.term_id)
+    val nTerms = a.terms.size
+    val (numBuckets, bits) = index.blocksMeta.get
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(tmp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val tbl = s"graft_shards_$h"
+    allowedIds.select(col("doc_id").cast("long"))
+      .withColumn("block_id", shiftright(col("doc_id"), bits))
+      .groupBy("block_id")
+      .agg(sort_array(collect_list(col("doc_id"))).as("allowed"))
+      .write.format("parquet")
+      .bucketBy(numBuckets, "block_id").sortBy("block_id")
+      .option("path", tmp)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(tbl)
+    val cleanup: () => Unit = () => {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+
+    val q8 = index.impactCodec == "q8"
+    val candidates = index.blocks
+      .where(col("term_id").isin(qids: _*))
+      .select("term_id", "block_id", "n", "docs_enc", "impacts_enc", "block_max")
+      .join(spark.table(tbl).hint("merge"), Seq("block_id"))
+      .sortWithinPartitions(col("block_id"), col("term_id"))
+      .select(col("term_id"), col("block_id"), col("n"), col("docs_enc"),
+        col("impacts_enc"), col("block_max"), col("allowed"))
+      .as[BlockRowF]
+      .mapPartitions { it =>
+        processPartition(
+          it.map(r => (BlockRow(r.term_id, r.block_id, r.n, r.docs_enc,
+            r.impacts_enc, r.block_max), r.allowed)),
+          nTerms, kk, conjunctive, Double.NegativeInfinity, q8)
+      }(org.apache.spark.sql.Encoders.product[(Long, Double)])
+      .toDF("doc_id", "score")
+    (Some(candidates), cleanup)
   }
 }

@@ -40,8 +40,11 @@ object IncrementalIndex {
       else batch
     val clean = pages.where(Extract.safe(col("text")))
       .select(col("doc_id"), col("url"), col("text"))
-    // doc-local tf histogram — zero-shuffle (see IndexBuilder.termFrequencies)
-    val tf = graft.index.IndexBuilder.termFrequencies(clean)
+    // doc-local tf histogram — zero-shuffle. DENSE v2 schema on purpose:
+    // the latest-wins read view can drop the rows that carry a term's only
+    // non-null string while keeping other rows of the term, so the sparse
+    // v3 string recovery is unsound across batch supersedes.
+    val tf = graft.index.IndexBuilder.termFrequenciesDense(clean)
       .withColumn("batch", lit(batchId))
     tf.write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(s"$indexDir/stream_tf/batch=$batchId")
@@ -68,6 +71,29 @@ object IncrementalIndex {
       .foreachBatch { (b: DataFrame, id: Long) => appendBatch(b, indexDir, id) }
       .start()
 
+  /** Cache for the per-directory "does any batch lack doc_len" verdict,
+    * keyed by batch count (stream dirs are append-only, so a new batch
+    * re-evaluates; existing batches never change schema).
+    */
+  private val healCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Boolean]
+
+  /** True when some stream_tf batch predates the doc_len column. Decided
+    * from the per-batch parquet FOOTER schemas — driver-side metadata
+    * reads, no Spark job, no data scan (the previous
+    * `where(doc_len.isNull).isEmpty` probe executed a full scan of every
+    * batch on every serving-path read).
+    */
+  private def needsHealing(spark: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/stream_tf")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+    healCache.getOrElseUpdate((indexDir, batches.length),
+      batches.exists { b =>
+        !spark.read.parquet(b.toString).schema.fieldNames.contains("doc_len")
+      })
+  }
+
   /** Merged current view of the streamed index: latest batch wins per
     * doc (the reference keeps stale postings around until a full rebuild;
     * exposing latest-wins at read time is the same contract with the
@@ -78,14 +104,15 @@ object IncrementalIndex {
     // doc_len) with v2 batches. v1 rows are healed EXACTLY — doc_len is
     // by definition the per-(doc, batch) sum of tf, so a window sum
     // reconstructs it; v2 rows keep their carried value (coalesce). An
-    // all-v2 dir short-circuits past the window (no extra shuffle).
+    // all-v2 dir short-circuits past the window (no extra shuffle) — the
+    // verdict comes from batch footer schemas, not a data scan.
     val tf = spark.read.option("mergeSchema", "true")
       .parquet(s"$indexDir/stream_tf/batch=*")
     val withLen =
       if (!tf.columns.contains("doc_len"))
         tf.withColumn("doc_len", sum("tf").over(
           org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "batch")))
-      else if (tf.where(col("doc_len").isNull).isEmpty) tf
+      else if (!needsHealing(spark, indexDir)) tf
       else tf.withColumn("doc_len", coalesce(col("doc_len"), sum("tf").over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "batch"))))
     val latest = withLen.groupBy("doc_id").agg(max("batch").as("batch"))

@@ -40,6 +40,32 @@ object Symbols {
           .otherwise("use").as("kind"),
         col("line"))
 
+  /** Web-structural symbol extraction (round 4) — title / heading /
+    * anchor-text elements of an html column, the web-corpus analog of the
+    * reference's tree-sitter node kinds (extractor.rs:8-30: function /
+    * class / variable kinds from grammar nodes; here the "grammar" is the
+    * html element structure). Pure Catalyst `regexp_extract_all` —
+    * codegen'd, no UDF. `line` is the 1-based ordinal of the element
+    * within its kind (the line-number analog of a structural match).
+    * The line-based [[extract]] remains the stand-in for corpora with no
+    * markup; this is the real extraction path for web pages.
+    */
+  def extractWeb(pages: DataFrame): DataFrame = {
+    def part(kind: String, pattern: String): DataFrame =
+      pages
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(col("html"), lit(pattern), lit(1)))
+            .as(Seq("ord0", "raw")))
+        .select(col("doc_id"),
+          lower(trim(col("raw"))).as("name"),
+          lit(kind).as("kind"),
+          (col("ord0") + 1).cast("int").as("line"))
+        .where(length(col("name")) > 2)
+    part("title", "<title>([^<]*)</title>")
+      .unionByName(part("heading", "<h[1-6]>([^<]*)</h[1-6]>"))
+      .unionByName(part("anchor", "<a[^>]*>([^<]*)</a>"))
+  }
+
   /** Symbols-only top-k: docs scored by their matching symbols
     * (containment, exact-name weight x2), with the first matching line
     * exposed (the reference returns the symbol's line per match).
@@ -77,9 +103,15 @@ object Symbols {
     *                       orders of magnitude smaller than the symbols
     *                       fact table
     */
-  def build(pages: DataFrame, dir: String): Unit = {
-    val spark = pages.sparkSession
-    extract(pages)
+  def build(pages: DataFrame, dir: String): Unit =
+    buildFrom(extract(pages), dir)
+
+  /** Persist an already-extracted symbols table (any extractor — line
+    * stand-in or [[extractWeb]]) under the artifact contract above.
+    */
+  def buildFrom(symbols: DataFrame, dir: String): Unit = {
+    val spark = symbols.sparkSession
+    symbols
       .sortWithinPartitions("name")
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$dir/symbols")

@@ -144,6 +144,18 @@ object Tokenizer {
     tc
   }
 
+  /** Driver/executor-side twin of Catalyst's `xxhash64(term)` (seed 42 over
+    * the UTF-8 bytes) — the build computes term ids INSIDE the tokenize
+    * stage (so tf rows never carry the term string) and the dictionary
+    * derives the same id declaratively; the two MUST agree bit-for-bit or
+    * postings would join against a different id space. Parity is asserted
+    * in TokenizerSpec against the SQL function itself.
+    */
+  def termId(term: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term),
+      org.apache.spark.sql.types.StringType, 42L)
+
   /** Java-regex equivalent of "split on non-alphanumeric". */
   val SplitRegex = "[^\\p{L}\\p{N}]+"
 
@@ -160,6 +172,58 @@ object Tokenizer {
     */
   def tokensColAscii(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > lit(2))
+}
+
+/** Open-addressed long set for per-partition "term id already emitted"
+  * tracking in the tf stage (8 bytes/slot, no boxing). Past [[SeenTermIds.MaxSize]]
+  * entries it stops deduplicating (add() keeps answering true) — soundness
+  * is unaffected (the dictionary takes min/max over the non-null strings;
+  * extra strings only cost bytes), so a freak per-partition vocabulary
+  * cannot grow the set without bound.
+  */
+final class SeenTermIds {
+  private var cap = 1 << 10 // power of 2
+  private var mask = cap - 1
+  private var slots = new Array[Long](cap)
+  private var used = new Array[Boolean](cap)
+  private var size = 0
+
+  /** True if `id` was NOT seen before (caller should emit the string). */
+  def add(id: Long): Boolean = {
+    if (size >= SeenTermIds.MaxSize) return true
+    var i = java.lang.Long.hashCode(id * -7046029254386353131L) & mask
+    while (used(i)) {
+      if (slots(i) == id) return false
+      i = (i + 1) & mask
+    }
+    slots(i) = id; used(i) = true
+    size += 1
+    if (size * 2 > cap) grow()
+    true
+  }
+
+  private def grow(): Unit = {
+    val os = slots; val ou = used
+    cap *= 2; mask = cap - 1
+    slots = new Array[Long](cap); used = new Array[Boolean](cap)
+    var i = 0
+    while (i < os.length) {
+      if (ou(i)) {
+        val v = os(i)
+        var j = java.lang.Long.hashCode(v * -7046029254386353131L) & mask
+        while (used(j)) j = (j + 1) & mask
+        slots(j) = v; used(j) = true
+      }
+      i += 1
+    }
+  }
+}
+
+object SeenTermIds {
+  /** ~16M ids = ~160 MB/partition worst case; beyond it dedup degrades
+    * gracefully to always-emit (correct, just more string bytes).
+    */
+  val MaxSize: Int = 1 << 24
 }
 
 /** Open-addressed (String -> int) counter for per-doc histograms. Keys

@@ -139,7 +139,8 @@ class Bm25EngineSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     // sparse filter (1/3 of docs) exercises allow-mode; dense filter
     // (2/3) with a mid ceiling forces deny-mode (complement broadcast);
-    // ceiling 1 forces the declarative fallback on either
+    // ceiling 1 defeats BOTH broadcasts -> the co-located shard path
+    // (round 4; the declarative fallback now only serves legacy layouts)
     val sparse = index.docs.where(col("doc_id") % 3 === 0).select("doc_id")
     val dense = index.docs.where(col("doc_id") % 3 =!= 0).select("doc_id")
     val sparseN = sparse.count(); val denseN = dense.count()
@@ -149,8 +150,8 @@ class Bm25EngineSpec extends AnyFunSuite {
     val cases = Seq(
       ("allow", sparse, Bm25Query.MaxBroadcastFilterDocs),
       ("deny", dense, denyCeil),
-      ("declarative", sparse, 1L),
-      ("declarative-dense", dense, 1L))
+      ("sharded", sparse, 0L),
+      ("sharded-dense", dense, 0L))
     // OR mode included deliberately: the bootstrap threshold must be
     // disabled under a filter (its lower bound is unsound when the
     // block-max doc can be filtered out)
@@ -173,6 +174,37 @@ class Bm25EngineSpec extends AnyFunSuite {
     assert(Bm25Query.searchBlocksFiltered(index, PagesCorpus.vocab(0), 10,
       conjunctive = true,
       sparse.where(col("doc_id") < 0)).collect().isEmpty)
+  }
+
+  test("sparse v3 tf builds the same dictionary+postings as dense v2 tf") {
+    import org.apache.spark.sql.functions.col
+    // the sparse term column (string once per partition, null on repeats)
+    // must be invisible in every derived artifact
+    val raw = PagesCorpus.pages(spark, n, parts = 4)
+    val pages = IndexBuilder.extractPages(raw.toDF())
+      .where(Extract.safe(col("text")))
+    val dirD = Files.createTempDirectory("graft-densetf").toString
+    val tfDense = IndexBuilder.termFrequenciesDense(pages)
+    val docLens = tfDense.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.first("doc_len").as("doc_len"))
+    val docsDim = pages.select("doc_id", "url")
+      .join(docLens, Seq("doc_id"), "left").na.fill(0L, Seq("doc_len"))
+    val idxD = IndexBuilder.buildFromTf(spark, tfDense, docsDim, dirD,
+      blockBits = 6)
+    def canon(df: org.apache.spark.sql.DataFrame, cols: String*): Seq[String] =
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    assert(canon(index.terms, "term_id", "term", "df", "idf") ==
+      canon(idxD.terms, "term_id", "term", "df", "idf"))
+    assert(canon(index.postings, "term_id", "doc_id", "impact") ==
+      canon(idxD.postings, "term_id", "doc_id", "impact"))
+    assert(index.stats == idxD.stats)
+    // and the sparse tf itself: per-partition first-sight strings only
+    val tfSparse = index.tfRows
+    assert(tfSparse.where(col("term").isNotNull).count() <
+      tfSparse.count())
+    assert(tfSparse.groupBy("term_id")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("term")).as("c"))
+      .where(col("c") =!= 1).count() == 0)
   }
 
   test("web-vocab (non-broadcast) postings path builds an identical index") {

@@ -37,14 +37,11 @@ object BuildProf {
     val tfR = spark.read.parquet(s"$out/tf")
     t("4 docLens") { tfR.groupBy("doc_id").agg(first("doc_len")).count() }
     t("5 terms dict + write") {
-      tfR.groupBy("term").agg(count(lit(1)).as("df"))
-        .withColumn("term_id", xxhash64(col("term")))
-        .withColumn("idf", Bm25.idfCol(n, col("df")))
-        .write.parquet(s"$out/terms")
+      graft.index.IndexBuilder.writeDictionary(spark, tfR, n, s"$out/terms")
     }
     val termsR = spark.read.parquet(s"$out/terms")
     t("6 postings join+sort+write") {
-      tfR.withColumn("term_id", xxhash64(col("term"))).drop("term")
+      tfR.drop("term") // v3 tf carries the computed term_id
         .join(broadcast(termsR.select("term_id", "idf")), Seq("term_id"))
         .select(col("term_id"), col("doc_id"),
           Bm25.impactCol(col("tf").cast("double"),

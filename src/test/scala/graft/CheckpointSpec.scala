@@ -170,6 +170,37 @@ class CheckpointSpec extends AnyFunSuite {
       Bm25Query.searchBlocks(idxC, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq)
   }
 
+  test("resume of a dir with committed units but NO config manifest " +
+      "invalidates everything (pre-fingerprinting dirs)") {
+    val dirA = Files.createTempDirectory("graft-ckpt-noconfig").toString
+    val raw = PagesCorpus.pages(spark, n, parts = 4).toDF()
+    CheckpointedBuild.build(spark, raw, dirA, slices = 4)
+    val before = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "tf")
+      .collect().map(r => r.getAs[Int]("part") -> r.getAs[Long]("committed_at")).toMap
+
+    // simulate a pre-upgrade checkpoint dir: committed units, no config_0
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rmrf)
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dirA/manifest/config_0"))
+
+    val idxA = CheckpointedBuild.build(spark, raw, dirA, slices = 4)
+    val after = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "tf")
+      .collect().map(r => r.getAs[Int]("part") -> r.getAs[Long]("committed_at")).toMap
+    // unknown prior config => every stage rebuilt (the committed units
+    // could carry any schema; trusting them can silently mix v1/v3 tf)
+    (0 until 4).foreach(p =>
+      assert(after(p) != before(p), s"tf slice $p must be rebuilt"))
+    val cr = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "config_reconcile").collect()
+    assert(cr.nonEmpty)
+    assert(cr.head.getAs[String]("lineage").contains("missing-config"))
+    assert(idxA.stats.num_docs > 0)
+  }
+
   test("manifest carries lineage and metrics per unit") {
     val dir = Files.createTempDirectory("graft-ckpt-m").toString
     CheckpointedBuild.build(spark, PagesCorpus.pages(spark, 100L, parts = 2).toDF(),

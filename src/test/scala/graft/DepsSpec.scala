@@ -23,6 +23,21 @@ class DepsSpec extends AnyFunSuite {
     assert(edges == Set((2L, 1L), (10L, 1L)))
   }
 
+  test("edgesFromHtml: href extraction + url-dictionary resolution") {
+    val pages = Seq(
+      (1L, "<p>x</p><a href=\"u2\">two</a> mid <a href=\"u3\">three</a>" +
+        "<a href=\"https://elsewhere/off-corpus\">gone</a>"),
+      (2L, "<a href=\"u1\">one</a> no other links"),
+      (3L, "<a href=\"u3\">self link</a>"),
+      (4L, "no anchors at all")).toDF("doc_id", "html")
+    val dict = Seq(("u1", 1L), ("u2", 2L), ("u3", 3L))
+      .toDF("import_key", "to_doc")
+    val edges = Deps.edgesFromHtml(pages, dict)
+      .as[(Long, Long)].collect().toSet
+    // off-corpus href unresolved, self-edge dropped, anchorless doc inert
+    assert(edges == Set((1L, 2L), (1L, 3L), (2L, 1L)))
+  }
+
   test("inDegree, dependents, dependencies, staticRank formula") {
     val edges = Seq((2L, 1L), (10L, 1L), (5L, 3L), (1L, 3L), (9L, 3L))
       .toDF("from_doc", "to_doc")

@@ -38,6 +38,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
   }
 
+  test("jaccard pairs over the shingle cap: KMV union estimator, flagged") {
+    import spark.implicits._
+    // two giant docs (> MaxVerifyShingles distinct shingles) with true
+    // J ~= 0.90: the capped path must (a) flag the pair as estimated and
+    // (b) land near the true value — the old capped-intersection formula
+    // was biased low on asymmetric pairs
+    val nA = Dedup.MaxVerifyShingles + 1000
+    val toks = (0 until nA + 2).map(i => f"tok$i%06d")
+    val a = toks.mkString(" ")
+    val b = toks.take((nA * 9) / 10).mkString(" ")
+    val big = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val r = Dedup.jaccardPairs(big, "doc_id", "text", 3, 0.5)
+      .collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getDouble(2), x.getBoolean(3)))
+    assert(r.length == 1)
+    val (_, _, j, est) = r.head
+    assert(est, "pair touching a capped doc must be flagged estimated")
+    val interTrue = (nA * 9) / 10 - 2 // B's shingles are a prefix of A's
+    val unionTrue = nA
+    val jTrue = interTrue.toDouble / unionTrue
+    assert(math.abs(j - jTrue) < 0.02, s"estimate $j vs true $jTrue")
+  }
+
   test("minhash LSH funnel finds the planted near-dups and exact dups") {
     // r=2 rows/band so the j=0.6 planted pair collides with certainty
     val dups = Dedup.minhashDuplicates(docs, "doc_id", "text",

@@ -63,6 +63,21 @@ object PlanDump {
       graft.symbols.Symbols.build(pages, symDir)
       graft.symbols.Symbols.searchIndexed(spark, symDir, PagesCorpus.vocab(3), 10)
         .explain("formatted")
+      println("### PLAN 10: regex PREFIX literal lookup (sorted-range predicate pushed into the terms scan)")
+      graft.query.RegexQuery.termIdsForLiteral(idx,
+        graft.query.RegexQuery.Lit("vect", leftBound = true, rightBound = false))
+        .explain("formatted")
+      println("### PLAN 11: regex SUFFIX literal lookup (sorted-range predicate on the REVERSED-term dimension)")
+      graft.query.RegexQuery.termIdsForLiteral(idx,
+        graft.query.RegexQuery.Lit("vous", leftBound = false, rightBound = true))
+        .explain("formatted")
+      println("### PLAN 12: DENSE-filter block query (per-block shards bucket-joined with blocks; no Exchange on the blocks side)")
+      val allowDense = idx.docs.where(col("doc_id") % 3 =!= 0).select("doc_id")
+      val (shardScored, cleanupShards) = Bm25Query.scoredBlocksSharded(idx,
+        s"${PagesCorpus.vocab(3)} ${PagesCorpus.vocab(7)}", 10,
+        conjunctive = true, allowDense)
+      shardScored.get.explain("formatted")
+      cleanupShards()
     }
     out.close()
     spark.stop()

@@ -67,6 +67,110 @@ class RegexQuerySpec extends AnyFunSuite {
       Seq(Lit("data", false, true), Lit("join", true, false)))
   }
 
+  test("expandAlternations: structural branch expansion") {
+    def ex(p: String) = RegexQuery.expandAlternations(p)
+    assert(ex("(foo|bar)baz") == Some(Seq("foobaz", "barbaz")))
+    assert(ex("a(b|c)d(e|f)") == Some(Seq("abde", "abdf", "acde", "acdf")))
+    assert(ex("((a|b)c|d)") == Some(Seq("ac", "bc", "d")))
+    assert(ex("(?:foo|bar) baz") == Some(Seq("foo baz", "bar baz")))
+    // zero-allowed group quantifiers erase the group's contribution
+    assert(ex("(foo)?bar") == Some(Seq(".*bar")))
+    assert(ex("(foo)*bar") == Some(Seq(".*bar")))
+    assert(ex("(foo){0,3}bar") == Some(Seq(".*bar")))
+    // one-or-more keeps the first occurrence, hides repeats in the tail
+    assert(ex("(foo)+bar") == Some(Seq("foo.*bar")))
+    assert(ex("(foo){2,5}bar") == Some(Seq("foo.*bar")))
+    // classes and \p collapse to one unknown char
+    assert(ex("[abc]x") == Some(Seq(".x")))
+    assert(ex("[^\\]x]yz") == Some(Seq(".yz")))
+    assert(ex("\\p{L}foo") == Some(Seq(".foo")))
+    // simple atoms + quantifiers pass through verbatim
+    assert(ex("x{2,3}y?") == Some(Seq("x{2,3}y?")))
+    assert(ex("data\\s*join") == Some(Seq("data\\s*join")))
+    // outside the model
+    assert(ex("(?i)x").isEmpty)        // inline flags
+    assert(ex("(?=x)y").isEmpty)       // lookaround
+    assert(ex("(a|b").isEmpty)         // unbalanced
+    assert(ex("a)b").isEmpty)
+    assert(ex("[abc").isEmpty)
+  }
+
+  test("requiredLiteralBranches: per-branch literal sets") {
+    def br(p: String) = RegexQuery.requiredLiteralBranches(p)
+    assert(br("(vector|stream)\\s+\\w+") ==
+      Seq(Seq(Lit("vector", false, true)), Seq(Lit("stream", false, true))))
+    assert(br("da(ta|sh)") ==
+      Seq(Seq(Lit("data", false, false)), Seq(Lit("dash", false, false))))
+    // a branch with no usable literal voids the whole prefilter
+    assert(br("(a|b)c") == Nil)
+    // short alternatives fold into the following literal per branch
+    assert(br("(vector|xy)merge").size == 2)
+    assert(br("data\\s+join") ==
+      Seq(Seq(Lit("data", false, true), Lit("join", true, false))))
+    // single-branch complex forms still analyze after expansion
+    assert(br("(?:data)\\s+join") ==
+      Seq(Seq(Lit("data", false, true), Lit("join", true, false))))
+  }
+
+  test("prefixUpperBound: tight sorted-range bounds") {
+    assert(RegexQuery.prefixUpperBound("foo") == Some("fop"))
+    assert(RegexQuery.prefixUpperBound("a") == Some("b"))
+    // surrogate gap skipped: U+D7FF increments to U+E000
+    assert(RegexQuery.prefixUpperBound("x" + 0xD7FF.toChar) ==
+      Some("x" + 0xE000.toChar))
+    // max code point drops to the previous position
+    val maxCp = new String(Character.toChars(0x10FFFF))
+    assert(RegexQuery.prefixUpperBound("a" + maxCp) == Some("b"))
+    assert(RegexQuery.prefixUpperBound(maxCp) == None)
+  }
+
+  test("regex search: alternation + open-sided literal paths == ground truth") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rx-alt").toString
+    val base = IndexBuilder.extractPages(
+      PagesCorpus.pages(spark, 300, parts = 4).toDF())
+      .where(Extract.safe(col("text")))
+    val extra = Seq(
+      (910000L, "https://x/alt1", "metadata join rendezvous"), // 'data' suffix-embedded
+      (910001L, "https://x/alt2", "dashboard rendezvous"),
+      (910002L, "https://x/pre", "rendezvousness prefix-extended token"),
+      (910003L, "https://x/suf", "unrendezvous suffix-embedded token"))
+      .toDF("doc_id", "url", "text")
+    val pages = base.unionByName(extra)
+    val idx = IndexBuilder.build(spark, pages, dir, blockBits = 6)
+
+    def groundTruth(pattern: String): Set[Long] = {
+      val rx = ("(?is)" + pattern).r
+      pages.select("doc_id", "text").collect()
+        .filter(r => rx.findFirstIn(r.getString(1)).isDefined)
+        .map(_.getLong(0)).toSet
+    }
+    def run(pattern: String): Set[Long] =
+      RegexQuery.search(idx, pages, pattern, 1000).collect().map(_.doc_id).toSet
+
+    // alternation over embedded literals: '(data|dash)board|join' shapes
+    for (p <- Seq(
+        "(data|dash)\\w+",              // prefix per branch
+        "(data|dash)board",             // infix/suffix mix per branch
+        "meta(data|dash)",              // left-extended literal
+        "(rendezvous|zzzznotthere) ",   // one branch absent from corpus
+        "(metadata|dashboard) rendezvous",
+        "x(?:yz|q)*rendezvous")) {      // zero-allowed group -> scan-free? no: '.*rendezvous' literal
+      assert(run(p) == groundTruth(p), s"pattern '$p'")
+    }
+    // prefix range path: left-bounded, right-open literal
+    val pPre = "\\srendez\\w+"
+    assert(RegexQuery.requiredLiterals(pPre) == Seq(Lit("rendez", true, false)))
+    assert(run(pPre) == groundTruth(pPre))
+    assert(groundTruth(pPre).nonEmpty)
+    // suffix range path: right-bounded, left-open literal (terms_rev)
+    val pSuf = "\\w+vous\\s"
+    assert(RegexQuery.requiredLiterals(pSuf) == Seq(Lit("vous", false, true)))
+    assert(run(pSuf) == groundTruth(pSuf))
+    assert(groundTruth(pSuf).nonEmpty)
+  }
+
   test("regex search: accelerated paths == ground truth (incl. mid-token match)") {
     val spark = TestSpark.spark
     import spark.implicits._

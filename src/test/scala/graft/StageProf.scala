@@ -36,11 +36,7 @@ object StageProf {
           .write.mode("overwrite").parquet(s"$out/docs")
       }
       t("4 terms dict") {
-        tfR.groupBy("term").agg(count(lit(1)).as("df"))
-          .withColumn("term_id", xxhash64(col("term")))
-          .withColumn("idf", Bm25.idfCol(n, col("df")))
-          .sortWithinPartitions("term")
-          .write.mode("overwrite").parquet(s"$out/terms")
+        IndexBuilder.writeDictionary(spark, tfR, n, s"$out/terms")
       }
       val termsR = spark.read.parquet(s"$out/terms")
       t("5 collision guard") {
@@ -49,7 +45,7 @@ object StageProf {
         require(c == 0)
       }
       t("6 postings join+write") {
-        tfR.withColumn("term_id", xxhash64(col("term"))).drop("term")
+        tfR.drop("term") // v3 tf carries the computed term_id
           .join(broadcast(termsR.select("term_id", "idf")), Seq("term_id"))
           .select(col("term_id"), col("doc_id"),
             Bm25.impactCol(col("tf").cast("double"),

@@ -33,6 +33,29 @@ class SymbolsSpec extends AnyFunSuite {
       (3L, "alpha", "ref", 2)))
   }
 
+  test("extractWeb: title/heading/anchor kinds with per-kind ordinals") {
+    val pages = Seq((7L,
+      "<html><head><title> My Title </title></head><body>" +
+        "<h1>First</h1><h2>Second</h2><p>body text</p>" +
+        "<a href=\"x\">Link One</a><a href=\"y\">ab</a>" +
+        "<a href=\"z\">Link Two</a></body></html>"))
+      .toDF("doc_id", "html")
+    val got = Symbols.extractWeb(pages)
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(got == Set(
+      (7L, "my title", "title", 1),   // trimmed + lowercased
+      (7L, "first", "heading", 1),
+      (7L, "second", "heading", 2),
+      (7L, "link one", "anchor", 1),
+      // 'ab' dropped (len <= 2) but keeps its ordinal slot
+      (7L, "link two", "anchor", 3)))
+    // search/searchIndexed run unchanged over the web extraction
+    val hits = Symbols.search(Symbols.extractWeb(pages), "link", 10)
+      .collect()
+    assert(hits.length == 1 && hits.head.getLong(0) == 7L)
+    assert(hits.head.getDouble(1) == 2.0) // two containment matches
+  }
+
   test("search: containment match, exact name doubled, (score,doc_id) order") {
     val sym = Symbols.extract(docs)
     val got = Symbols.search(sym, "Alpha", 10)

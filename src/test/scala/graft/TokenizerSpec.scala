@@ -29,6 +29,19 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.tokenize("été") == Vector("été")) // 5 utf8 bytes
   }
 
+  test("termId is bit-identical to Catalyst xxhash64 (seed 42)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val inputs = Seq("", "a", "spark", "merge", "héllo", "日本",
+      "caféresumé", "0123456789abcdef0123456789abcdef-longer-than-32",
+      "İstanbul", "x" * 1000)
+    val sql = inputs.toDF("t").select(col("t"), xxhash64(col("t")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach { s =>
+      assert(Tokenizer.termId(s) == sql(s), s"termId mismatch for '$s'")
+    }
+  }
+
   test("column twin agrees with pure function") {
     val spark = TestSpark.spark
     import spark.implicits._
