@@ -53,6 +53,22 @@ object CheckpointedBuild {
     ()
   }
 
+  /** Remove every manifest unit of `stage` (multi-unit stages commit one
+    * row per part: tf_p, postings_p).
+    */
+  private def rmManifestPrefix(spark: SparkSession, outDir: String,
+      stage: String): Unit = {
+    val mdir = Paths.get(s"$outDir/manifest")
+    if (Files.isDirectory(mdir)) {
+      val it = Files.list(mdir).iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getFileName.toString.startsWith(s"${stage}_"))
+          rmrf(spark, e.toString)
+      }
+    }
+  }
+
   private def commit(spark: SparkSession, outDir: String, dir: String,
       m: ManifestRow): Unit = {
     import spark.implicits._
@@ -179,20 +195,12 @@ object CheckpointedBuild {
       victims.foreach {
         case "tf" =>
           rmrf(spark, s"$outDir/tf"); rmrf(spark, s"$outDir/docs_raw")
-          val mdir = Paths.get(s"$outDir/manifest")
-          if (Files.isDirectory(mdir)) {
-            val it = Files.list(mdir).iterator()
-            while (it.hasNext) {
-              val e = it.next()
-              if (e.getFileName.toString.startsWith("tf_"))
-                rmrf(spark, e.toString)
-            }
-          }
+          rmManifestPrefix(spark, outDir, "tf")
         case st =>
           rmrf(spark, s"$outDir/$st")
           if (st == "blocks") rmrf(spark, s"$outDir/blocks_meta")
           if (st == "terms") rmrf(spark, s"$outDir/terms_rev")
-          rmrf(spark, s"$outDir/manifest/${st}_0")
+          rmManifestPrefix(spark, outDir, st)
       }
       Seq(ManifestRow("config_reconcile", 0, victims.size, 0,
         s"changed=${changed.mkString(",")} invalidated=${victims.mkString(",")}",
@@ -243,7 +251,7 @@ object CheckpointedBuild {
             "blocks_meta", "stats")
           .foreach(st => rmrf(spark, s"$outDir/$st"))
         Seq("docs", "terms", "postings", "blocks", "stats")
-          .foreach(st => rmrf(spark, s"$outDir/manifest/${st}_0"))
+          .foreach(st => rmManifestPrefix(spark, outDir, st))
       }
       Seq(ManifestRow("reconcile", 0, triage.count(_ == "valid"),
         (System.nanoTime() - t0) / 1000000,
@@ -324,34 +332,69 @@ object CheckpointedBuild {
     val numTerms = manifest(spark, outDir)
       .where(col("stage") === "terms").head().getAs[Long]("rows")
 
-    // ---- stage 4: postings with impacts
-    if (!isCommitted(s"$outDir/postings")) {
-      val t0 = System.nanoTime()
-      val obs = org.apache.spark.sql.Observation()
-      // doc_len rides on the tf rows (v2 slice schema) -> no doc_id join;
-      // term_id is computed (xxhash64), not joined for, so the idf attach
-      // joins on the 8-byte id — broadcast when the dictionary fits,
-      // making this stage zero-shuffle (see IndexBuilder.buildFromTf)
-      val dict = termsR.select("term_id", "idf")
-      val dictSide =
-        if (numTerms <= graft.index.IndexBuilder.DictBroadcastMaxTerms)
-          broadcast(dict)
-        else dict
-      tfR.drop("term") // v3 slices carry the computed term_id already
-        .join(dictSide, Seq("term_id"))
-        .select(col("term_id"), col("doc_id"),
-          Bm25.impactCol(col("tf").cast("double"),
-            col("doc_len").cast("double"), avgdl, col("idf")).as("impact"))
-        .observe(obs, count(lit(1)).as("n"))
-        .sortWithinPartitions("term_id", "doc_id")
-        .write.mode(SaveMode.Overwrite).option("compression", "zstd")
-        .parquet(s"$outDir/postings")
-      commit(spark, outDir, s"$outDir/postings", ManifestRow("postings", 0,
-        obs.get("n").asInstanceOf[Long],
-        (System.nanoTime() - t0) / 1000000, "tf+docs+terms", System.currentTimeMillis()))
-      onUnitCommitted("postings", 0)
+    // ---- stage 4: postings with impacts. Resumable PER tf-SLICE when
+    // the dictionary broadcasts: each slice's postings are a pure
+    // function of (that tf slice, the committed dictionary, avgdl) —
+    // doc_len rides on the tf rows, term_id is precomputed, and the idf
+    // attach is a broadcast-hash join, so per-slice jobs stay
+    // shuffle-free. At corpus scale this stage is hours; a crash
+    // mid-way now redoes only the uncommitted slices (VERDICT r3
+    // finding #4). Past the broadcast ceiling the id-keyed shuffle join
+    // would re-shuffle the dictionary once per slice, so the stage
+    // stays ONE unit there. (Stale input or a config change wipes the
+    // whole postings dir upstream — idf/avgdl are corpus-global, so no
+    // per-slice staleness triage is sound here.)
+    val dict = termsR.select("term_id", "idf")
+    val canSlicePostings =
+      numTerms <= graft.index.IndexBuilder.DictBroadcastMaxTerms
+    if (!isCommitted(s"$outDir/postings")) { // flat-layout resume marker
+      if (canSlicePostings) {
+        for (p <- 0 until slices) {
+          val pdir = s"$outDir/postings/slice=$p"
+          if (!isCommitted(pdir) &&
+              Files.exists(Paths.get(s"$outDir/tf/slice=$p"))) {
+            val t0 = System.nanoTime()
+            val obs = org.apache.spark.sql.Observation()
+            spark.read.parquet(s"$outDir/tf/slice=$p")
+              .drop("term")
+              .join(broadcast(dict), Seq("term_id"))
+              .select(col("term_id"), col("doc_id"),
+                Bm25.impactCol(col("tf").cast("double"),
+                  col("doc_len").cast("double"), avgdl, col("idf")).as("impact"))
+              .observe(obs, count(lit(1)).as("n"))
+              .sortWithinPartitions("term_id", "doc_id")
+              .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+              .parquet(pdir)
+            commit(spark, outDir, pdir, ManifestRow("postings", p,
+              obs.get("n").asInstanceOf[Long],
+              (System.nanoTime() - t0) / 1000000,
+              s"tf/slice=$p+terms", System.currentTimeMillis()))
+            onUnitCommitted("postings", p)
+          }
+        }
+      } else {
+        val t0 = System.nanoTime()
+        val obs = org.apache.spark.sql.Observation()
+        tfR.drop("term") // v3 slices carry the computed term_id already
+          .join(dict, Seq("term_id"))
+          .select(col("term_id"), col("doc_id"),
+            Bm25.impactCol(col("tf").cast("double"),
+              col("doc_len").cast("double"), avgdl, col("idf")).as("impact"))
+          .observe(obs, count(lit(1)).as("n"))
+          .sortWithinPartitions("term_id", "doc_id")
+          .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+          .parquet(s"$outDir/postings")
+        commit(spark, outDir, s"$outDir/postings", ManifestRow("postings", 0,
+          obs.get("n").asInstanceOf[Long],
+          (System.nanoTime() - t0) / 1000000, "tf+docs+terms",
+          System.currentTimeMillis()))
+        onUnitCommitted("postings", 0)
+      }
     }
+    // partition discovery covers both layouts (slice=p subdirs or flat);
+    // underscore-prefixed commit markers are ignored by the reader
     val postingsR = spark.read.parquet(s"$outDir/postings")
+      .select("term_id", "doc_id", "impact")
 
     // ---- stage 5: compressed blocks (bucketed serving layout)
     if (!isCommitted(s"$outDir/blocks")) {
@@ -369,9 +412,10 @@ object CheckpointedBuild {
     // tables; the manifest is authoritative on resume too)
     if (!isCommitted(s"$outDir/stats")) {
       val t0 = System.nanoTime()
+      // multi-unit stages (per-slice postings) sum their unit rows
       def manifestRows(stage: String): Long =
-        spark.read.parquet(s"$outDir/manifest/${stage}_0")
-          .head().getAs[Long]("rows")
+        manifest(spark, outDir).where(col("stage") === stage)
+          .agg(sum("rows")).head().getLong(0)
       Seq(graft.index.IndexStats(numDocs, totalTokens, avgdl,
         manifestRows("terms"), manifestRows("postings")))
         .toDS().write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")

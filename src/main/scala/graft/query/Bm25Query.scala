@@ -469,7 +469,23 @@ object Bm25Query {
             val li = order(oi)
             val arr = docArrays(li)
             var p = ptrs(li)
-            while (p < arr.length && arr(p) < doc) p += 1
+            if (p < arr.length && arr(p) < doc) {
+              // galloping advance: exponential probe brackets doc, then a
+              // bounded binary search — O(log gap) instead of O(gap), the
+              // standard upgrade for skewed list-length ratios (the drive
+              // list is the smallest, so gaps in the larger lists can be
+              // huge). Pointer semantics identical to the linear walk:
+              // p ends at the first element >= doc.
+              var step = 1
+              var hi = p + 1
+              while (hi < arr.length && arr(hi) < doc) {
+                p = hi; hi = p + step; step <<= 1
+              }
+              var idx = java.util.Arrays.binarySearch(
+                arr, p + 1, math.min(hi, arr.length), doc)
+              if (idx < 0) idx = -idx - 1
+              p = idx
+            }
             ptrs(li) = p
             ok = p < arr.length && arr(p) == doc
             oi += 1

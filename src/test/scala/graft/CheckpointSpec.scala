@@ -170,6 +170,51 @@ class CheckpointSpec extends AnyFunSuite {
       Bm25Query.searchBlocks(idxC, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq)
   }
 
+  test("kill mid-postings: committed postings slices are not recomputed") {
+    val dirA = Files.createTempDirectory("graft-ckpt-post-a").toString
+    val dirB = Files.createTempDirectory("graft-ckpt-post-b").toString
+    val raw = PagesCorpus.pages(spark, n, parts = 4).toDF()
+    val idxB = CheckpointedBuild.build(spark, raw, dirB, slices = 6)
+
+    // die after the 3rd committed postings slice
+    var committed = 0
+    intercept[Boom] {
+      CheckpointedBuild.build(spark, raw, dirA, slices = 6,
+        onUnitCommitted = (stage, _) => {
+          if (stage == "postings") {
+            committed += 1; if (committed == 3) throw Boom()
+          }
+        })
+    }
+    assert((0 until 3).forall(p =>
+      CheckpointedBuild.isCommitted(s"$dirA/postings/slice=$p")))
+    assert((3 until 6).forall(p =>
+      !CheckpointedBuild.isCommitted(s"$dirA/postings/slice=$p")))
+    val before = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "postings")
+      .collect().map(r => r.getAs[Int]("part") -> r.getAs[Long]("committed_at")).toMap
+
+    val idxA = CheckpointedBuild.build(spark, raw, dirA, slices = 6)
+    val after = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "postings")
+      .collect().map(r => r.getAs[Int]("part") -> r.getAs[Long]("committed_at")).toMap
+    assert(after.size == 6)
+    (0 until 3).foreach(p =>
+      assert(after(p) == before(p), s"postings slice $p recomputed"))
+
+    def canon(path: String, table: String, cols: Seq[String]): Seq[String] =
+      spark.read.parquet(s"$path/$table").select(cols.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(dirA, "postings", Seq("term_id", "doc_id", "impact")) ==
+      canon(dirB, "postings", Seq("term_id", "doc_id", "impact")))
+    assert(canon(dirA, "blocks", Seq("term_id", "block_id", "n", "block_max")) ==
+      canon(dirB, "blocks", Seq("term_id", "block_id", "n", "block_max")))
+    assert(idxA.stats == idxB.stats)
+    val q = PagesCorpus.vocab(2)
+    assert(Bm25Query.searchBlocks(idxA, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq ==
+      Bm25Query.searchBlocks(idxB, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq)
+  }
+
   test("resume of a dir with committed units but NO config manifest " +
       "invalidates everything (pre-fingerprinting dirs)") {
     val dirA = Files.createTempDirectory("graft-ckpt-noconfig").toString
