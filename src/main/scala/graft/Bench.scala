@@ -27,6 +27,7 @@ object Bench {
     "p5_dense_filter_blocks" -> "conjunctive",
     "k3_boosted_topk" -> "conjunctive",
     "k1_bm25_topk_or" -> "disjunctive",
+    "k1_bm25_batch" -> "disjunctive",
     "p4_short_query" -> "disjunctive",
     "p7_line_matches" -> "serving_lines",
     "p7_substring_pos" -> "needle",
@@ -59,6 +60,7 @@ object Bench {
     "txt_quality" -> "text",
     "chunk_split" -> "text",
     "txt_langid" -> "text",
+    "txt_tokens_bpe" -> "text",
     "s5_safety_filter" -> "text",
     "w2_fast_rank" -> "text",
     "mm_features" -> "text",

@@ -69,6 +69,25 @@ object SearchCli {
         s"""{"rank":${h.rank},"score":${h.score},"doc_id":${h.doc_id},""" +
         s""""url":"${esc(h.url)}"}"""))
       println(f"""{"query":"${esc(q)}","mode":"$mode","hits":${hits.length},"elapsed_ms":$ms%.1f}""")
+    // batched serving: semicolon-separated queries, ONE Spark job for the
+    // whole batch (the per-query scheduling floor amortizes across B) —
+    // the load-test shape of the reference validator
+    case "batch" :: dir :: k :: mode :: rest if rest.nonEmpty =>
+      val idx = IndexBuilder.load(spark, dir).cacheHot().cacheDictionary()
+      val conj = mode != "or"
+      // ',' OR ';' separate queries (sbt -batch eats ';' as its own
+      // command separator, so ',' is the reachable spelling there)
+      val queries = rest.mkString(" ").split("[;,]").map(_.trim)
+        .filter(_.nonEmpty).toSeq.map(q => (q, conj))
+      val t0 = System.nanoTime()
+      val res = Bm25Query.searchBlocksBatch(idx, queries, k.toInt)
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[batch] queries=${queries.size} mode=$mode k=$k " +
+        f"wall=${ms}%.0fms amortized=${ms / queries.size}%.1fms/query")
+      queries.zip(res).foreach { case ((q, _), hits) =>
+        println(s"  q='$q' hits=${hits.length}" + (if (hits.nonEmpty)
+          f" top=(${hits.head.doc_id},${hits.head.score}%.4f)" else ""))
+      }
     // line-level results (reference result record: path, line, span,
     // snippet — proto/search.proto:19-28); needs the pages parquet for
     // late content materialization
@@ -90,6 +109,7 @@ object SearchCli {
       System.err.println(
         "usage: build <nDocs> <indexDir> | query <indexDir> <k> <and|or> <terms...>" +
         " | query-json <indexDir> <k> <and|or> <terms...>" +
+        " | batch <indexDir> <k> <and|or> <q1; q2; ...>" +
         " | lines <indexDir> <pagesParquet> <k> <and|or> <terms...>")
       sys.exit(2)
   }

@@ -182,6 +182,19 @@ object SparkEntry {
     "k1_bm25_topk_or" -> ((s, dir) =>
       topkDf(s, dir, "vector stream", 20, conjunctive = false, blocks = true)),
 
+    // batched serving: both queries answered by ONE Spark job over one
+    // pruned blocks scan — per-query results must equal the single-query
+    // path (and therefore the oracle) exactly
+    "k1_bm25_batch" -> ((s, dir) => {
+      val res = Bm25Query.searchBlocksBatch(indexFor(s, dir),
+        Seq(("spark merge window", true), ("vector stream", false)), 20)
+      import s.implicits._
+      res.zipWithIndex.flatMap { case (hits, qi) =>
+        hits.map(h => (qi.toLong, h.doc_id, h.score))
+      }.toDF("qid", "doc_id", "score")
+        .select(col("qid"), col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
     "p5_filtered_search" -> ((s, dir) => {
       val scored = Bm25Query
         .scoredNaive(indexFor(s, dir), "data join", conjunctive = true).get
@@ -269,6 +282,14 @@ object SparkEntry {
     "txt_langid" -> ((s, dir) =>
       documents(s, dir).select(
         col("doc_id"), TextStats.langId(col("text")).as("lang_guess"))),
+
+    // LLM-token-budget estimate (BPE pre-tokenizer units) alongside the
+    // search tokenizer's word count
+    "txt_tokens_bpe" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens_word"),
+        TextStats.bpeTokenCount(col("text")).as("n_tokens_bpe"))),
 
     // --- similarity search ---
     "sim_cosine_topk" -> ((s, dir) => {
@@ -704,6 +725,13 @@ object SparkEntry {
     "k1_bm25_topk_or" ->
       bm25Sql(Seq("vector", "stream"), conjunctive = false, k = 20),
 
+    "k1_bm25_batch" ->
+      s"""SELECT 0 AS qid, doc_id, score FROM (
+         |${bm25Sql(Seq("spark", "merge", "window"), conjunctive = true, k = 20)})
+         |UNION ALL
+         |SELECT 1 AS qid, doc_id, score FROM (
+         |${bm25Sql(Seq("vector", "stream"), conjunctive = false, k = 20)})""".stripMargin,
+
     "p5_filtered_search" ->
       bm25Sql(Seq("data", "join"), conjunctive = true, k = 10, langFilter = Some("en")),
 
@@ -756,6 +784,14 @@ object SparkEntry {
          |  WHEN en >= de AND en >= fr AND en >= es THEN 'en'
          |  WHEN de >= fr AND de >= es THEN 'de'
          |  WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_guess FROM s""".stripMargin,
+
+    "txt_tokens_bpe" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> length(x) > 2)) AS n_tokens_word,
+        |  len(regexp_extract_all(text,
+        |      '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+')) AS n_tokens_bpe
+        |FROM documents""".stripMargin,
 
     "dedup_jaccard_pairs" ->
       s"""$ShingleCte,

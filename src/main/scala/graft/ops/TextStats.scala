@@ -20,6 +20,21 @@ object TextStats {
   def tokenChars(text: Column): Column =
     aggregate(Tokenizer.tokensCol(text), lit(0L), (a, t) => a + length(t))
 
+  /** BPE-style pre-tokenizer unit count — the GPT-2-family pre-tokenize
+    * shape (letter runs | digit runs | punctuation runs; whitespace
+    * separates): an LLM-token-budget estimator that, unlike the search
+    * tokenizer's [[tokenCount]], counts numbers, punctuation and short
+    * tokens. One `regexp_count`, whole-stage codegen; the regex is RE2-
+    * compatible so the DuckDB oracle replays it verbatim. (Real BPE then
+    * splits each unit into subwords — a merges table this container
+    * doesn't ship; the unit count is the standard cheap upper-structure
+    * estimate.)
+    */
+  val BpeTokenRegex = "[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]+"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenRegex)).cast("long")
+
   /** Stopword ratio: occurrences of `the` (the only >2-char stopword in
     * the synthetic corpus) over token count; 0 when no tokens.
     */

@@ -711,6 +711,96 @@ object Bm25Query {
     }
   }
 
+  /** Batched serving: answer MANY queries in ONE Spark job over ONE
+    * pruned blocks scan — the amortization story for the per-query
+    * scheduling floor (a single interactive query pays 3-4 fixed driver
+    * jobs ~100ms each; a B-query batch pays them once, so amortized
+    * latency approaches scan time / B). The reference's validator drives
+    * its load test exactly this way — a mixed workload against one hot
+    * engine (fast_code_search_validator.rs:692-810).
+    *
+    * Mechanics: all queries analyze on the driver (dictionary); the scan
+    * pushes In(union of all term_ids); each partition buffers its pruned,
+    * (block_id, term_id)-sorted rows ONCE and replays them through the
+    * SAME single-query merge kernel per query (per-query heaps,
+    * per-query conjunctive/union mode) — results are bit-identical to
+    * [[searchBlocks]] per query by construction, asserted in
+    * Bm25EngineSpec. Per-partition buffering holds only the pruned rows
+    * of the batch's query terms (the same rows a one-query scan of the
+    * busiest term would hold). The adaptive OR-bootstrap is skipped
+    * (its extra pre-pass per query would defeat the amortization; the
+    * heap threshold still prunes). Short queries take their all-docs
+    * fallback individually; unresolvable conjunctive queries are empty.
+    *
+    * Returns one Vector[Hit] per input query, in input order.
+    */
+  def searchBlocksBatch(index: BuiltIndex,
+      queries: Seq[(String, Boolean)], k: Int): Seq[Vector[Hit]] = {
+    val spark = index.spark
+    import spark.implicits._
+    val kk = clampK(k)
+    val analyzed = queries.map { case (q, conj) => (analyze(index, q), conj) }
+    // batchable = resolvable through the index; others settle individually
+    val plan = analyzed.zipWithIndex.collect {
+      case ((a, conj), qi)
+          if a.terms.nonEmpty && (!conj || a.allResolved) =>
+        (qi, a.terms.map(_.term_id).toArray, a.terms.size, conj)
+    }
+    val results = scala.collection.mutable.Map.empty[Int, Vector[Hit]]
+    queries.zipWithIndex.foreach { case ((q, _), qi) =>
+      if (isShortQuery(q))
+        results(qi) = allDocsFallback(index, kk, Nil, Nil).collect().toVector
+      else if (!plan.exists(_._1 == qi)) results(qi) = Vector.empty
+    }
+    if (plan.nonEmpty) {
+      val unionIds = plan.flatMap(_._2).distinct
+      val qIdx = plan.map(_._1).toArray
+      val qIds = plan.map(_._2).toArray
+      val qN = plan.map(_._3).toArray
+      val qConj = plan.map(_._4).toArray
+      val q8 = index.impactCodec == "q8"
+      val rows = index.blocks
+        .where(col("term_id").isin(unionIds: _*))
+        .select("term_id", "block_id", "n", "docs_enc", "impacts_enc",
+          "block_max")
+        .as[BlockRow]
+      val coLocated =
+        if (index.blocksBucketed) rows else rows.repartition(col("block_id"))
+      val candidates = coLocated
+        .sortWithinPartitions(col("block_id"), col("term_id"))
+        .mapPartitions { it =>
+          val part = it.toArray // pruned rows of this bucket, sorted
+          (0 until qIds.length).iterator.flatMap { pi =>
+            val tset = qIds(pi).toSet
+            processPartition(
+              part.iterator.filter(r => tset.contains(r.term_id))
+                .map(r => (r, null: Array[Long])),
+              qN(pi), kk, qConj(pi), Double.NegativeInfinity, q8)
+              .map { case (d, s) => (pi, d, s) }
+          }
+        }(org.apache.spark.sql.Encoders.product[(Int, Long, Double)])
+        .collect()
+      // per-query top-k with the frozen tie-break, then ONE pruned url
+      // lookup for every query's winners together
+      val topPer = candidates.groupBy(_._1).map { case (pi, arr) =>
+        pi -> arr.map(c => (c._2, c._3))
+          .sortBy { case (d, s) => (-s, d) }.take(kk).toVector
+      }
+      val allIds = topPer.values.flatten.map(_._1).toArray.distinct
+      val urls =
+        if (allIds.isEmpty) Map.empty[Long, String]
+        else index.docs.where(col("doc_id").isin(allIds.toIndexedSeq: _*))
+          .select("doc_id", "url").as[(Long, String)].collect().toMap
+      plan.indices.foreach { pi =>
+        val hits = topPer.getOrElse(pi, Vector.empty).zipWithIndex.map {
+          case ((d, s), i) => Hit(d, urls.getOrElse(d, ""), s, i + 1)
+        }
+        results(qIdx(pi)) = hits
+      }
+    }
+    queries.indices.map(qi => results(qi)).toVector
+  }
+
   /** Dense-filter block scoring (VERDICT r3 #5 — removes the
     * [[MaxBroadcastFilterDocs]] ceiling): the allow set is written as
     * per-block_id SORTED-ARRAY shards bucketed EXACTLY like the blocks

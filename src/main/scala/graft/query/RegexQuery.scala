@@ -424,6 +424,37 @@ object RegexQuery {
     branches.map(candidatesByLiterals(index, _))
       .reduce(_ unionAll _).distinct()
 
+  /** Candidate count up to which the verify scan materializes the id set
+    * on the driver and pushes `In(doc_id)` into the pages scan (parquet
+    * row-group pruning — the content table is docId-sorted). 100k ids =
+    * ~800 KB driver-side; past it the verify degrades to the join (a
+    * candidate set that large is within an order of magnitude of a scan
+    * anyway). Late materialization matters here like it did for line
+    * serving (PLANS.md 7): without the pushdown every accelerated regex
+    * query still paid a FULL content-column scan just to verify a
+    * handful of candidates.
+    */
+  val MaxPushedVerifyDocs = 100000
+
+  /** Verification join: candidates × content. Under
+    * [[MaxPushedVerifyDocs]] the doc_ids push into the pages scan as an
+    * In-filter; above it a semi-join keeps the plan distributed.
+    */
+  private def verifyCandidates(cands: DataFrame, pagesText: DataFrame,
+      rx: String): DataFrame = {
+    val ids = cands.select("doc_id").limit(MaxPushedVerifyDocs + 1)
+      .collect().map(_.getLong(0))
+    val content =
+      if (ids.length <= MaxPushedVerifyDocs)
+        pagesText.where(col("doc_id").isin(ids.toIndexedSeq: _*))
+          .select("doc_id", "text")
+      else pagesText.select("doc_id", "text")
+        .join(cands.select("doc_id"), Seq("doc_id"), "left_semi")
+    content
+      .where(regexp_like(col("text"), lit(rx)))
+      .select("doc_id")
+  }
+
   /** Index-accelerated regex search. `pagesText` supplies (doc_id, text)
     * for verification (the index itself stores no raw text — lazy content
     * materialization, like the reference's mmap-on-demand store).
@@ -460,16 +491,13 @@ object RegexQuery {
             conjunctive = true) match {
           case None => return spark.emptyDataset[Hit] // literal not in corpus
           case Some(scored) =>
-            scored.join(pagesText.select("doc_id", "text"), Seq("doc_id"))
-              .where(regexp_like(col("text"), lit(rx)))
+            scored.join(verifyCandidates(scored, pagesText, rx), Seq("doc_id"))
               .select(col("doc_id"), col("score"))
         }
       } else if (branches.nonEmpty) {
         // union of per-branch candidate sets -> verify; doc_id-ordered
         // (score 0.0 — mixed-branch literal sets have no shared BM25 frame)
-        candidatesByBranches(index, branches)
-          .join(pagesText.select("doc_id", "text"), Seq("doc_id"))
-          .where(regexp_like(col("text"), lit(rx)))
+        verifyCandidates(candidatesByBranches(index, branches), pagesText, rx)
           .select(col("doc_id"), lit(0.0).as("score"))
       } else {
         pagesText.select("doc_id", "text")

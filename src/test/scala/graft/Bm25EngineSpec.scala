@@ -176,6 +176,17 @@ class Bm25EngineSpec extends AnyFunSuite {
       sparse.where(col("doc_id") < 0)).collect().isEmpty)
   }
 
+  test("batched serving: one job answers the whole workload bit-identically") {
+    val batch = queries.flatMap(q => Seq((q, true), (q, false)))
+    val got = Bm25Query.searchBlocksBatch(index, batch, 20)
+    batch.zip(got).foreach { case ((q, conj), hits) =>
+      val want = Bm25Query.searchBlocks(index, q, 20, conj).collect().toVector
+      assert(hits.map(h => (h.doc_id, h.score, h.rank, h.url)) ==
+        want.map(h => (h.doc_id, h.score, h.rank, h.url)),
+        s"batch result differs: q='$q' conj=$conj")
+    }
+  }
+
   test("sparse v3 tf builds the same dictionary+postings as dense v2 tf") {
     import org.apache.spark.sql.functions.col
     // the sparse term column (string once per partition, null on repeats)

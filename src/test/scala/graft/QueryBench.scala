@@ -93,6 +93,27 @@ object QueryBench {
         f"p95=${pct(v, 0.95)}%.0fms p99=${pct(v, 0.99)}%.0fms " +
         f"qps=${v.size / (v.sum / 1000.0)}%.1f")
     }
+
+    // Batched serving: the SAME BM25 workload (needle/head/conj/disj,
+    // 30 queries) through ONE Spark job — the scheduling-floor
+    // amortization number next to the per-query latencies above.
+    val batch: Seq[(String, Boolean)] =
+      (0 until 10).map(i => (PagesCorpus.needleTerm(i), true)) ++
+      (0 until 5).map(i => (PagesCorpus.vocab(i), true)) ++
+      (0 until 10).map(i =>
+        (s"${PagesCorpus.vocab(3 + i)} ${PagesCorpus.vocab(40 + 7 * i)}", true)) ++
+      (0 until 5).map(i =>
+        (s"${PagesCorpus.vocab(20 + i)} ${PagesCorpus.vocab(100 + i)}", false))
+    Bm25Query.searchBlocksBatch(idx, batch, 10) // warm
+    val bt = (0 until rounds).map { _ =>
+      val t0 = System.nanoTime()
+      Bm25Query.searchBlocksBatch(idx, batch, 10)
+      (System.nanoTime() - t0) / 1e6
+    }
+    val bBest = bt.min
+    println(f"[loadtest:batched] queries=${batch.size} rounds=$rounds " +
+      f"best_wall=${bBest}%.0fms amortized=${bBest / batch.size}%.1fms/query " +
+      f"qps=${batch.size / (bBest / 1000.0)}%.1f")
     spark.stop()
   }
 }
