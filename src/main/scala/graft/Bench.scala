@@ -26,6 +26,7 @@ object Bench {
     "p5_filtered_blocks" -> "conjunctive",
     "p5_dense_filter_blocks" -> "conjunctive",
     "k3_boosted_topk" -> "conjunctive",
+    "k3_boosted_blocks" -> "conjunctive",
     "k1_bm25_topk_or" -> "disjunctive",
     "k1_bm25_batch" -> "disjunctive",
     "p4_short_query" -> "disjunctive",

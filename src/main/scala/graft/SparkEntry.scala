@@ -373,6 +373,13 @@ object SparkEntry {
         Deps.staticRank(gateEdges(s, dir))).toDF()
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
 
+    // same boosted query through the PRODUCTION block path (rank set
+    // broadcast into the WAND merge, bounds scaled by max rank)
+    "k3_boosted_blocks" -> ((s, dir) =>
+      Bm25Query.searchBlocksBoosted(indexFor(s, dir), "data join", 10,
+        Deps.staticRank(gateEdges(s, dir))).toDF()
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+
     // --- P4: short-query fallback (all docs are candidates) ---
     "p4_short_query" -> ((s, dir) =>
       Bm25Query.searchBlocks(indexFor(s, dir), "ab", 10).toDF()
@@ -651,6 +658,30 @@ object SparkEntry {
        |ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id ASC
        |LIMIT 10""".stripMargin
 
+  /** K3 boosted-search oracle (shared by the declarative and block-path
+    * gates — both must produce identical results).
+    */
+  private def k3OracleSql: String =
+    s"""$TfCte,
+         |dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |q AS (SELECT unnest(['data', 'join']) AS term),
+         |sc AS (SELECT tf.doc_id,
+         |              ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) *
+         |              ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doc_len / st.avgdl)))) AS s
+         |       FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), st),
+         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY 1 HAVING count(*) = 2),
+         |$EdgesBody,
+         |ind AS (SELECT to_doc AS doc_id, count(*) AS n FROM edges GROUP BY 1),
+         |rnk AS (SELECT doc_id, 1.0 + log10(n) * 0.5 AS sr FROM ind)
+         |SELECT agg.doc_id AS doc_id,
+         |       round(agg.score * coalesce(rnk.sr, 1.0), 4) AS score
+         |FROM agg LEFT JOIN rnk USING (doc_id)
+         |ORDER BY agg.score * coalesce(rnk.sr, 1.0) DESC, agg.doc_id ASC
+         |LIMIT 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_simhash" -> simhashOracleSql,
     "sim_lsh_neardups" -> lshOracleSql,
@@ -884,26 +915,11 @@ object SparkEntry {
          |SELECT from_doc FROM edges
          |WHERE to_doc = (SELECT h FROM hubx)""".stripMargin,
 
-    "k3_boosted_topk" ->
-      s"""$TfCte,
-         |dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
-         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
-         |              (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
-         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |q AS (SELECT unnest(['data', 'join']) AS term),
-         |sc AS (SELECT tf.doc_id,
-         |              ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) *
-         |              ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doc_len / st.avgdl)))) AS s
-         |       FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), st),
-         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY 1 HAVING count(*) = 2),
-         |$EdgesBody,
-         |ind AS (SELECT to_doc AS doc_id, count(*) AS n FROM edges GROUP BY 1),
-         |rnk AS (SELECT doc_id, 1.0 + log10(n) * 0.5 AS sr FROM ind)
-         |SELECT agg.doc_id AS doc_id,
-         |       round(agg.score * coalesce(rnk.sr, 1.0), 4) AS score
-         |FROM agg LEFT JOIN rnk USING (doc_id)
-         |ORDER BY agg.score * coalesce(rnk.sr, 1.0) DESC, agg.doc_id ASC
-         |LIMIT 10""".stripMargin,
+    "k3_boosted_topk" -> k3OracleSql,
+
+    // identical results contract: block-path boosted == declarative
+    "k3_boosted_blocks" -> k3OracleSql,
+
 
     "p4_short_query" ->
       """SELECT doc_id, CAST(0.0 AS DOUBLE) AS score FROM documents

@@ -211,6 +211,43 @@ object Bm25Query {
         finish(index, boosted, clampK(k))
     }
 
+  /** K3 on the PRODUCTION path (round 4): boosted search through the
+    * compressed blocks. The rank set `(doc_id, static_rank)` (distinct
+    * doc_ids, values >= 0; docs absent default 1.0 like the declarative
+    * path) collects and broadcasts as sorted arrays up to
+    * [[MaxBroadcastFilterDocs]] entries (~64 MB at 16 B/entry — the
+    * in-degree table is bounded by LINKED-TO docs, far fewer than docs);
+    * past the ceiling the query falls back to [[searchBoosted]] (exact,
+    * reads the uncompressed postings). Inside the merge every pruning
+    * bound scales by max(rank) and each candidate's final score is
+    * bm25 x rank(doc) — results equal searchBoosted bit-for-bit
+    * (Bm25EngineSpec/DepsSpec).
+    */
+  def searchBlocksBoosted(index: BuiltIndex, query: String, k: Int,
+      rank: DataFrame, conjunctive: Boolean = true,
+      maxBroadcastRanks: Long = MaxBroadcastFilterDocs): Dataset[Hit] = {
+    val spark = index.spark
+    import spark.implicits._
+    val kk = clampK(k)
+    if (isShortQuery(query)) return allDocsFallback(index, kk, Nil, Nil)
+    val lim = math.min(maxBroadcastRanks + 1, Int.MaxValue.toLong - 1).toInt
+    val rows = rank
+      .select(col("doc_id").cast("long"), col("static_rank").cast("double"))
+      .limit(lim).as[(Long, Double)].collect()
+    if (rows.length > maxBroadcastRanks)
+      return searchBoosted(index, query, kk, rank, conjunctive)
+    val sorted = rows.sortBy(_._1)
+    val ids = sorted.map(_._1)
+    val vals = sorted.map(_._2)
+    require(vals.forall(_ >= 0.0), "static_rank must be non-negative")
+    val maxB = if (vals.isEmpty) 1.0 else math.max(1.0, vals.max)
+    scoredBlocks(index, query, kk, conjunctive,
+      boost = Some((ids, vals, maxB))) match {
+      case None => emptyHits(spark)
+      case Some(scored) => finish(index, scored, kk)
+    }
+  }
+
   /** Per-match line materialization over the FINAL top-k docs only (late
     * materialization, the reference's fast-mode shape: rank first, read
     * content for the survivors, engine.rs:1317-1353). Per line of a hit
@@ -305,7 +342,8 @@ object Bm25Query {
   def scoredBlocks(index: BuiltIndex, query: String, k: Int,
       conjunctive: Boolean,
       adaptiveThreshold: Long = AdaptiveCandidateThreshold,
-      docFilter: Option[DocFilter] = None): Option[DataFrame] = {
+      docFilter: Option[DocFilter] = None,
+      boost: Option[(Array[Long], Array[Double], Double)] = None): Option[DataFrame] = {
     val spark = index.spark
     import spark.implicits._
     val a = analyze(index, query)
@@ -325,8 +363,12 @@ object Bm25Query {
     // semantics the block-max doc may lack the other required terms — and
     // only UNFILTERED: with a doc filter the block-max doc may be filtered
     // out, so L(g) would overestimate the attainable filtered score.
+    // ... and only UNBOOSTED: the bootstrap's per-group lower bound L(g)
+    // assumes the block-max doc scores at least L(g), but its boost may
+    // be < maxBoost, so a boosted threshold seeded from it could prune a
+    // true top-k doc
     val initThreshold: Double =
-      if (!conjunctive && docFilter.isEmpty &&
+      if (!conjunctive && docFilter.isEmpty && boost.isEmpty &&
           a.terms.map(_.df).sum > adaptiveThreshold) {
         val lows = index.blocks
           .where(col("term_id").isin(qids: _*))
@@ -356,14 +398,21 @@ object Bm25Query {
     val bcFilter = docFilter
       .map(f => (spark.sparkContext.broadcast(f.sorted), f.isAllow))
       .orNull
+    val bcBoost = boost
+      .map(b => (spark.sparkContext.broadcast(b._1),
+        spark.sparkContext.broadcast(b._2), b._3))
+      .orNull
     val candidates = coLocated
       .sortWithinPartitions(col("block_id"), col("term_id"))
       .mapPartitions { it =>
         val (fArr, fAllow) =
           if (bcFilter == null) (null: Array[Long], true)
           else (bcFilter._1.value, bcFilter._2)
+        val (bIds, bVals, bMax) =
+          if (bcBoost == null) (null: Array[Long], null: Array[Double], 1.0)
+          else (bcBoost._1.value, bcBoost._2.value, bcBoost._3)
         processPartition(it.map(r => (r, fArr)), nTerms, kk, conjunctive,
-          initThreshold, q8, fAllow)
+          initThreshold, q8, fAllow, bIds, bVals, bMax)
       }(org.apache.spark.sql.Encoders.product[(Long, Double)])
       .toDF("doc_id", "score")
     Some(candidates)
@@ -389,7 +438,10 @@ object Bm25Query {
       conjunctive: Boolean,
       initThreshold: Double,
       q8: Boolean,
-      filterIsAllow: Boolean = true): Iterator[(Long, Double)] = {
+      filterIsAllow: Boolean = true,
+      boostIds: Array[Long] = null,
+      boostVals: Array[Double] = null,
+      maxBoost: Double = 1.0): Iterator[(Long, Double)] = {
     @inline def decodeImp(bytes: Array[Byte], n: Int): Array[Double] =
       if (q8) PostingCodec.decodeImpactsQ8(bytes, n)
       else PostingCodec.decodeImpacts(bytes, n)
@@ -397,6 +449,16 @@ object Bm25Query {
     @inline def allowed(doc: Long): Boolean =
       curFilter == null ||
       (java.util.Arrays.binarySearch(curFilter, doc) >= 0) == filterIsAllow
+    // K3 static-rank boost pushed into the merge: final = bm25 * rank(doc)
+    // (docs absent from the rank set default 1.0, like the declarative
+    // path); every pruning bound scales by maxBoost (>= any per-doc rank),
+    // so skipping stays strictly conservative and the boosted top-k exact
+    @inline def boostOf(doc: Long): Double =
+      if (boostIds == null) 1.0
+      else {
+        val i = java.util.Arrays.binarySearch(boostIds, doc)
+        if (i >= 0) boostVals(i) else 1.0
+      }
     // local top-k heap: head = current worst survivor
     val worstFirst: Ordering[(Long, Double)] = (a, b) => {
       val c = java.lang.Double.compare(b._2, a._2)
@@ -426,8 +488,8 @@ object Bm25Query {
       var upper = 0.0
       var gi = 0
       while (gi < group.size) { upper += group(gi).block_max; gi += 1 }
-      if (upper < initThreshold) { group.clear(); return }
-      if (heap.size == k && upper < threshold) { group.clear(); return }
+      if (upper * maxBoost < initThreshold) { group.clear(); return }
+      if (heap.size == k && upper * maxBoost < threshold) { group.clear(); return }
       // decode; rows are term_id-ascending => per-doc sums accumulate in
       // canonical term order (bit-identical to the oracle)
       if (conjunctive) {
@@ -493,18 +555,21 @@ object Bm25Query {
           if (ok && allowed(doc)) {
             // sum in ascending term_id order (= group order); positions
             // come from the intersection pointers (drive: di) — no
-            // per-candidate binary searches
+            // per-candidate binary searches. The doc's own boost scales
+            // the partial-score viability bound and the final score
+            // (bst = 1.0 when unboosted — exact identity).
             ptrs(driveIdx) = di
             val th = threshold
+            val bst = boostOf(doc)
             var score = 0.0
             var ti = 0
             var viable = true
             while (viable && ti < present) {
               score += imps(ti)(ptrs(ti))
               ti += 1
-              viable = score + remUb(ti) >= th
+              viable = (score + remUb(ti)) * bst >= th
             }
-            if (viable) offer(doc, score)
+            if (viable) offer(doc, score * bst)
           }
           di += 1
         }
@@ -557,8 +622,10 @@ object Bm25Query {
             val th = if (initThreshold > hth) initThreshold else hth
             var ub = 0.0
             var p = 0
-            while (p < na && ub < th) { ub += group(alive(p)).block_max; p += 1 }
-            if (ub < th) running = false // Σ alive bounds < th: group spent
+            while (p < na && ub * maxBoost < th) {
+              ub += group(alive(p)).block_max; p += 1
+            }
+            if (ub * maxBoost < th) running = false // Σ bounds < th: spent
             else {
               val pivotIdx = if (p == 0) 0 else p - 1
               val pl = alive(pivotIdx)
@@ -567,6 +634,7 @@ object Bm25Query {
                 // evaluate pivotDoc: sum lists whose head == pivotDoc in
                 // ascending term_id (= group) order, then advance them
                 val ok = allowed(pivotDoc)
+                val bst = if (ok) boostOf(pivotDoc) else 1.0
                 var score = 0.0
                 gi = 0
                 while (gi < present) {
@@ -577,7 +645,7 @@ object Bm25Query {
                   }
                   gi += 1
                 }
-                if (ok) offer(pivotDoc, score)
+                if (ok) offer(pivotDoc, score * bst)
               } else {
                 // advance lists with head < pivotDoc up to it
                 var i = 0

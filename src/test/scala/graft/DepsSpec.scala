@@ -68,5 +68,22 @@ class DepsSpec extends AnyFunSuite {
       .sortBy { case (d, s) => (-s, d) }
       .zipWithIndex.map { case ((d, s), i) => (d, s, i + 1) }
     assert(got.map(h => (h.doc_id, h.score, h.rank)).toSeq == want.toSeq)
+
+    // PRODUCTION block path (boost broadcast into the WAND merge, bounds
+    // scaled by max rank): bit-identical to the declarative path, in
+    // both modes, incl. a boost > 1 that can reorder docs across blocks
+    for (conj <- Seq(true, false)) {
+      val dGot = Bm25Query.searchBoosted(index, q, 1000, rank, conj).collect()
+      val bGot = Bm25Query.searchBlocksBoosted(index, q, 1000, rank, conj)
+        .collect()
+      assert(bGot.map(h => (h.doc_id, h.score, h.rank, h.url)).toSeq ==
+        dGot.map(h => (h.doc_id, h.score, h.rank, h.url)).toSeq,
+        s"block-path boosted differs (conj=$conj)")
+    }
+    // small k forces the scaled pruning bounds to actually cut
+    val dTop = Bm25Query.searchBoosted(index, q, 3, rank).collect()
+    val bTop = Bm25Query.searchBlocksBoosted(index, q, 3, rank).collect()
+    assert(bTop.map(h => (h.doc_id, h.score)).toSeq ==
+      dTop.map(h => (h.doc_id, h.score)).toSeq)
   }
 }
