@@ -29,7 +29,10 @@ case class ManifestRow(
   *                          input (the expensive extract+tokenize+tf pass;
   *                          slicing by docId range aligns with input file
   *                          ranges, so each unit re-scans only its files)
-  *   docs/ terms/ postings/ blocks/ stats/ — stage 2+, one unit each
+  *   postings/slice=p/    — stage 4, one unit per tf slice when the
+  *                          dictionary broadcasts (round 4; one flat unit
+  *                          past the broadcast ceiling)
+  *   docs/ terms/(+terms_rev) blocks/ stats/ — one unit each
   *   manifest/<stage>_<part>/ — one-row parquet per committed unit
   *
   * A unit directory containing `_GRAFT_COMMITTED` is skipped on resume

@@ -18,6 +18,7 @@ case class IndexStats(
   *
   *   {path}/docs      (doc_id, url, doc_len)           — per-doc metadata
   *   {path}/terms     (term_id, term, df, idf)         — term dictionary
+  *   {path}/terms_rev (term_rev, term_id)              — suffix-lookup dim
   *   {path}/postings  (term_id, doc_id, impact)        — uncompressed rows
   *   {path}/blocks    (term_id, block_id, n, docs_enc,
   *                     impacts_enc, block_max)         — production artifact
