@@ -498,12 +498,17 @@ object SparkEntry {
        |  unnest(range(1, len(regexp_extract_all(html, '$pat', 1)) + 1)) AS ord
        |  FROM w)""".stripMargin
 
-  /** Twin of Symbols.extractWeb over the view. */
+  /** Twin of Symbols.extractWeb over the view (same `(?i)` + optional
+    * attribute-tail patterns, one CTE per heading level — RE2 in DuckDB,
+    * java.util.regex in Spark, both within the shared subset).
+    */
   private val SymWebBody =
-    s"""${symWebPart("swt", "title", "<title>([^<]*)</title>")},
-       |${symWebPart("swh", "heading", "<h[1-6]>([^<]*)</h[1-6]>")},
-       |${symWebPart("swa", "anchor", "<a[^>]*>([^<]*)</a>")},
-       |swu AS (SELECT * FROM swt UNION ALL SELECT * FROM swh
+    s"""${symWebPart("swt", "title", "(?i)<title(?:\\s[^>]*)?>([^<]*)</title\\s*>")},
+       |${(1 to 6).map(l => symWebPart(s"swh$l", "heading",
+            s"(?i)<h$l(?:\\s[^>]*)?>([^<]*)</h$l\\s*>")).mkString(",\n")},
+       |${symWebPart("swa", "anchor", "(?i)<a(?:\\s[^>]*)?>([^<]*)</a\\s*>")},
+       |swu AS (SELECT * FROM swt
+       |        ${(1 to 6).map(l => s"UNION ALL SELECT * FROM swh$l").mkString(" ")}
        |        UNION ALL SELECT * FROM swa),
        |sy AS (SELECT doc_id, lower(trim(raw)) AS name, kind,
        |              CAST(ord AS INT) AS line

@@ -239,6 +239,15 @@ object Bm25Query {
     val sorted = rows.sortBy(_._1)
     val ids = sorted.map(_._1)
     val vals = sorted.map(_._2)
+    // uniqueness enforced loudly (like the >=0 check): a duplicated doc_id
+    // would make the merge's binarySearch pick an arbitrary one of the
+    // duplicate boost values — silently wrong scores
+    var di = 1
+    while (di < ids.length) {
+      require(ids(di) != ids(di - 1),
+        s"rank set has a duplicate doc_id ${ids(di)}")
+      di += 1
+    }
     require(vals.forall(_ >= 0.0), "static_rank must be non-negative")
     val maxB = if (vals.isEmpty) 1.0 else math.max(1.0, vals.max)
     scoredBlocks(index, query, kk, conjunctive,

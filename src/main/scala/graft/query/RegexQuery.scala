@@ -486,13 +486,38 @@ object RegexQuery {
     val verifiedScored: DataFrame =
       if (branches.size == 1 && branches.head.forall(_.bothBound)) {
         // single branch, all literals complete index terms -> conjunctive
-        // BM25 prefilter AND BM25-ranked results
+        // BM25 prefilter AND BM25-ranked results. The candidate job runs
+        // ONCE: (doc_id, score) pairs collect together, driving BOTH the
+        // In(doc_id) verify pushdown and the final score attach (a local
+        // relation) — the previous shape collected ids inside
+        // verifyCandidates and then re-executed the whole scoring plan
+        // for the outer join (one redundant job per accelerated query).
         Bm25Query.scoredNaive(index, branches.head.map(_.text).mkString(" "),
             conjunctive = true) match {
           case None => return spark.emptyDataset[Hit] // literal not in corpus
           case Some(scored) =>
-            scored.join(verifyCandidates(scored, pagesText, rx), Seq("doc_id"))
-              .select(col("doc_id"), col("score"))
+            val pairs = scored.select("doc_id", "score")
+              .limit(MaxPushedVerifyDocs + 1)
+              .collect().map(r => (r.getLong(0), r.getDouble(1)))
+            if (pairs.length <= MaxPushedVerifyDocs) {
+              pagesText
+                .where(col("doc_id").isin(pairs.map(_._1).toIndexedSeq: _*))
+                .where(regexp_like(col("text"), lit(rx)))
+                .select("doc_id")
+                .join(spark.createDataset(pairs.toIndexedSeq)
+                  .toDF("doc_id", "score"), Seq("doc_id"))
+            } else {
+              // past the pushdown cap: one distributed plan (semi-join
+              // verify + score attach) — the candidate set at this size is
+              // within an order of magnitude of a scan anyway
+              scored.join(
+                pagesText.select("doc_id", "text")
+                  .join(scored.select("doc_id"), Seq("doc_id"), "left_semi")
+                  .where(regexp_like(col("text"), lit(rx)))
+                  .select("doc_id"),
+                Seq("doc_id"))
+                .select(col("doc_id"), col("score"))
+            }
         }
       } else if (branches.nonEmpty) {
         // union of per-branch candidate sets -> verify; doc_id-ordered

@@ -71,12 +71,15 @@ object IncrementalIndex {
       .foreachBatch { (b: DataFrame, id: Long) => appendBatch(b, indexDir, id) }
       .start()
 
-  /** Cache for the per-directory "does any batch lack doc_len" verdict,
-    * keyed by batch count (stream dirs are append-only, so a new batch
-    * re-evaluates; existing batches never change schema).
+  /** Cache for the per-directory "does any batch lack doc_len" verdict:
+    * ONE entry per indexDir holding (last-seen batch count, verdict),
+    * replaced whenever the count changes (stream dirs are append-only, so
+    * a new batch re-evaluates; existing batches never change schema). A
+    * single slot per dir also means a long-running stream doesn't
+    * accumulate one stale entry per batch ever observed.
     */
   private val healCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Boolean]
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Boolean)]
 
   /** True when some stream_tf batch predates the doc_len column. Decided
     * from the per-batch parquet FOOTER schemas — driver-side metadata
@@ -88,10 +91,15 @@ object IncrementalIndex {
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/stream_tf")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batches = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-    healCache.getOrElseUpdate((indexDir, batches.length),
-      batches.exists { b =>
-        !spark.read.parquet(b.toString).schema.fieldNames.contains("doc_len")
-      })
+    healCache.get(indexDir) match {
+      case Some((n, verdict)) if n == batches.length => verdict
+      case _ =>
+        val verdict = batches.exists { b =>
+          !spark.read.parquet(b.toString).schema.fieldNames.contains("doc_len")
+        }
+        healCache.put(indexDir, (batches.length, verdict))
+        verdict
+    }
   }
 
   /** Merged current view of the streamed index: latest batch wins per

@@ -61,9 +61,19 @@ object Symbols {
           lit(kind).as("kind"),
           (col("ord0") + 1).cast("int").as("line"))
         .where(length(col("name")) > 2)
-    part("title", "<title>([^<]*)</title>")
-      .unionByName(part("heading", "<h[1-6]>([^<]*)</h[1-6]>"))
-      .unionByName(part("anchor", "<a[^>]*>([^<]*)</a>"))
+    // `(?i)` + optional attribute tail on every open tag; heading levels
+    // are matched per level (a union of <h1>..</h1> .. <h6>..</h6>
+    // patterns) so mismatched pairs like <h1>x</h2> do NOT extract — the
+    // previous single <h[1-6]>..</h[1-6]> class paired them. The open-tag
+    // attribute form `(?:\s[^>]*)?` requires whitespace before attributes,
+    // so <abbr>/<address> never match the anchor pattern. `line` is the
+    // 1-based ordinal of the element within its PATTERN (i.e. per heading
+    // level), the structural-position analog of a line number.
+    val headings = (1 to 6).map(l =>
+      part("heading", s"(?i)<h$l(?:\\s[^>]*)?>([^<]*)</h$l\\s*>"))
+    (part("title", "(?i)<title(?:\\s[^>]*)?>([^<]*)</title\\s*>")
+      +: headings :+ part("anchor", "(?i)<a(?:\\s[^>]*)?>([^<]*)</a\\s*>"))
+      .reduce(_ unionByName _)
   }
 
   /** Symbols-only top-k: docs scored by their matching symbols

@@ -171,6 +171,40 @@ class RegexQuerySpec extends AnyFunSuite {
     assert(groundTruth(pSuf).nonEmpty)
   }
 
+  test("single-branch accelerated regex: candidate job executes once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-rx-jobs").toString
+    val pages = IndexBuilder.extractPages(
+      PagesCorpus.pages(spark, 200, parts = 2).toDF())
+      .where(Extract.safe(col("text")))
+    val idx = IndexBuilder.build(spark, pages, dir, blockBits = 6)
+    val pat = s" ${PagesCorpus.vocab(5)} ${PagesCorpus.vocab(12)} "
+    RegexQuery.search(idx, pages, pat, 1000).collect() // warm plans/caches
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = RegexQuery.search(idx, pages, pat, 1000).collect()
+      assert(got.nonEmpty)
+      // drain the (async) listener bus: poll until the count stabilizes
+      var last = -1; var cur = jobs.get
+      while (cur != last) { Thread.sleep(300); last = cur; cur = jobs.get }
+      // the round-4 shape collected candidate ids inside verifyCandidates
+      // and then RE-EXECUTED the whole scoring plan for the outer join —
+      // two extra jobs on this query (measured 8 before the fix, 6 after:
+      // analyze + scored collect [2 AQE jobs] + verify/top-k + urls)
+      assert(cur <= 6,
+        s"accelerated single-branch regex ran $cur jobs; the candidate " +
+        "scoring plan must execute exactly once (VERDICT r4 finding #1)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("regex search: accelerated paths == ground truth (incl. mid-token match)") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -33,7 +33,7 @@ class SymbolsSpec extends AnyFunSuite {
       (3L, "alpha", "ref", 2)))
   }
 
-  test("extractWeb: title/heading/anchor kinds with per-kind ordinals") {
+  test("extractWeb: title/heading/anchor kinds, per-pattern ordinals") {
     val pages = Seq((7L,
       "<html><head><title> My Title </title></head><body>" +
         "<h1>First</h1><h2>Second</h2><p>body text</p>" +
@@ -45,7 +45,7 @@ class SymbolsSpec extends AnyFunSuite {
     assert(got == Set(
       (7L, "my title", "title", 1),   // trimmed + lowercased
       (7L, "first", "heading", 1),
-      (7L, "second", "heading", 2),
+      (7L, "second", "heading", 1),   // ordinal is PER LEVEL (h2's first)
       (7L, "link one", "anchor", 1),
       // 'ab' dropped (len <= 2) but keeps its ordinal slot
       (7L, "link two", "anchor", 3)))
@@ -54,6 +54,23 @@ class SymbolsSpec extends AnyFunSuite {
       .collect()
     assert(hits.length == 1 && hits.head.getLong(0) == 7L)
     assert(hits.head.getDouble(1) == 2.0) // two containment matches
+  }
+
+  test("extractWeb: uppercase tags + attributes match; mismatched heading " +
+      "pairs and non-anchor <a...> tags do not") {
+    val pages = Seq((9L,
+      "<HTML><HEAD><TITLE>Shouty Title</TITLE></HEAD><body>" +
+        "<h1 class=\"big\">Attributed Heading</h1>" +
+        "<h1>crossed</h2>" +              // mismatched pair: must NOT extract
+        "<abbr>not a link</abbr>" +       // <abbr> must not match the anchor
+        "<A HREF=\"u\">Upper Link</A></body></html>"))
+      .toDF("doc_id", "html")
+    val got = Symbols.extractWeb(pages)
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(got == Set(
+      (9L, "shouty title", "title", 1),
+      (9L, "attributed heading", "heading", 1),
+      (9L, "upper link", "anchor", 1)))
   }
 
   test("search: containment match, exact name doubled, (score,doc_id) order") {
