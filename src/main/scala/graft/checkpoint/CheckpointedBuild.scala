@@ -32,6 +32,11 @@ case class ManifestRow(
   *   postings/slice=p/    — stage 4, one unit per tf slice when the
   *                          dictionary broadcasts (round 4; one flat unit
   *                          past the broadcast ceiling)
+  *   blocks_enc/unit=u/   — stage 5a (round 5), encoded posting blocks of
+  *                          one 2^blockBits-ALIGNED docId range (shuffle +
+  *                          encode, the expensive half — resumable per
+  *                          unit); stage 5b assembles the bucketed blocks/
+  *                          table from them with no shuffle or re-encode
   *   docs/ terms/(+terms_rev) blocks/ stats/ — one unit each
   *   manifest/<stage>_<part>/ — one-row parquet per committed unit
   *
@@ -186,9 +191,10 @@ object CheckpointedBuild {
     if (committedWithoutConfig ||
         (priorConfig.nonEmpty && priorConfig != config.toMap)) {
       def derivedStages(key: String): Seq[String] = key match {
-        case "blockBits" => Seq("blocks")
-        case "bm25"      => Seq("terms", "postings", "blocks", "stats")
-        case _           => Seq("tf", "docs", "terms", "postings", "blocks", "stats")
+        case "blockBits" => Seq("blocks_enc", "blocks")
+        case "bm25"      => Seq("terms", "postings", "blocks_enc", "blocks", "stats")
+        case _           => Seq("tf", "docs", "terms", "postings",
+          "blocks_enc", "blocks", "stats")
       }
       val changed =
         if (committedWithoutConfig) Seq("missing-config")
@@ -250,10 +256,12 @@ object CheckpointedBuild {
       val removed = triage.count(_ == "removed")
       if (stale + removed > 0) {
         // downstream tables are pure functions of ALL slices — invalidate
-        Seq("docs", "terms", "terms_rev", "postings", "blocks",
-            "blocks_meta", "stats")
+        // (blocks_enc units too: idf/avgdl are corpus-global, so no
+        // per-unit staleness triage is sound there)
+        Seq("docs", "terms", "terms_rev", "postings", "blocks_enc",
+            "blocks", "blocks_meta", "stats")
           .foreach(st => rmrf(spark, s"$outDir/$st"))
-        Seq("docs", "terms", "postings", "blocks", "stats")
+        Seq("docs", "terms", "postings", "blocks_enc", "blocks", "stats")
           .foreach(st => rmManifestPrefix(spark, outDir, st))
       }
       Seq(ManifestRow("reconcile", 0, triage.count(_ == "valid"),
@@ -399,15 +407,73 @@ object CheckpointedBuild {
     val postingsR = spark.read.parquet(s"$outDir/postings")
       .select("term_id", "doc_id", "impact")
 
-    // ---- stage 5: compressed blocks (bucketed serving layout)
+    // ---- stage 5: compressed blocks (bucketed serving layout). When the
+    // dictionary broadcasts, the expensive half — the (term_id, block_id)
+    // shuffle + streaming encode — is resumable PER UNIT: the doc_id space
+    // is cut into `slices` ranges ALIGNED to 2^blockBits, so every
+    // (term_id, block_id) group lies wholly inside one unit; each unit
+    // encodes independently from the tf rows of its range (impacts
+    // computed in-task from the broadcast idf dictionary — the same
+    // byte-cut encode as the batch build) and commits blocks_enc/unit=u.
+    // A final assembly pass moves the already-encoded rows into the
+    // bucketed serving table: linear I/O, no shuffle, no re-encode — a
+    // crash there redoes only the cheap copy. At corpus scale the encode
+    // half is hours and was all-or-nothing (reference analog ST4,
+    // background_indexer.rs:648-694). Unit reads carry a doc_id range
+    // predicate over the tf slices — parquet row-group min/max stats keep
+    // each unit's scan near its own slice files. Past the broadcast
+    // ceiling the stage stays one postings-driven unit.
     if (!isCommitted(s"$outDir/blocks")) {
-      val t0 = System.nanoTime()
-      val nBlocks = PostingBlocks.writeBlocks(postingsR, outDir,
-        spark.sessionState.conf.numShufflePartitions, blockBits)
-      commit(spark, outDir, s"$outDir/blocks", ManifestRow("blocks", 0,
-        nBlocks,
-        (System.nanoTime() - t0) / 1000000, "postings", System.currentTimeMillis()))
-      onUnitCommitted("blocks", 0)
+      if (canSlicePostings) {
+        val idfMap = new graft.index.LongDoubleMap(math.max(16, numTerms.toInt))
+        termsR.select("term_id", "idf").collect()
+          .foreach(r => idfMap.put(r.getLong(0), r.getDouble(1)))
+        val bcIdf = spark.sparkContext.broadcast(idfMap)
+        val bw = 1L << blockBits
+        val alo = java.lang.Math.floorDiv(lo, bw) * bw
+        val rawW = math.max(1L, (hi - alo + slices) / slices)
+        val uWidth = ((rawW + bw - 1) / bw) * bw
+        def unitRange(u: Int): (Long, Long) =
+          (alo + u * uWidth,
+           if (u == slices - 1) hi + 1 else alo + (u + 1) * uWidth)
+        for (u <- 0 until slices) {
+          val udir = s"$outDir/blocks_enc/unit=$u"
+          val (uLo, uHi) = unitRange(u)
+          if (!isCommitted(udir) && uLo < uHi) {
+            val t0 = System.nanoTime()
+            val obs = org.apache.spark.sql.Observation()
+            PostingBlocks.encodeFromTf(
+              tfR.where(col("doc_id") >= uLo && col("doc_id") < uHi)
+                .select("term_id", "doc_id", "tf", "doc_len"),
+              avgdl, bcIdf, blockBits)
+              .observe(obs, count(lit(1)).as("n"))
+              .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+              .parquet(udir)
+            commit(spark, outDir, udir, ManifestRow("blocks_enc", u,
+              obs.get("n").asInstanceOf[Long],
+              (System.nanoTime() - t0) / 1000000,
+              s"tf:doc_id:[$uLo,$uHi)+terms", System.currentTimeMillis()))
+            onUnitCommitted("blocks_enc", u)
+          }
+        }
+        val t0 = System.nanoTime()
+        val encoded = spark.read.parquet(s"$outDir/blocks_enc/unit=*")
+          .as[graft.index.PostingBlock]
+        val nBlocks = PostingBlocks.writeBlocksEncoded(encoded, outDir,
+          spark.sessionState.conf.numShufflePartitions, blockBits)
+        commit(spark, outDir, s"$outDir/blocks", ManifestRow("blocks", 0,
+          nBlocks, (System.nanoTime() - t0) / 1000000,
+          "blocks_enc/unit=*", System.currentTimeMillis()))
+        onUnitCommitted("blocks", 0)
+      } else {
+        val t0 = System.nanoTime()
+        val nBlocks = PostingBlocks.writeBlocks(postingsR, outDir,
+          spark.sessionState.conf.numShufflePartitions, blockBits)
+        commit(spark, outDir, s"$outDir/blocks", ManifestRow("blocks", 0,
+          nBlocks,
+          (System.nanoTime() - t0) / 1000000, "postings", System.currentTimeMillis()))
+        onUnitCommitted("blocks", 0)
+      }
     }
 
     // ---- stage 6: stats — term/posting counts come from the manifest

@@ -476,8 +476,24 @@ object IndexBuilder {
     // Posting blocks: fixed docId ranges (block_id = doc_id >> blockBits)
     // act as the salt for head-term skew (see PostingBlock scaladoc).
     // Streaming encode + bucketed write (serving-path layout contract).
-    PostingBlocks.writeBlocks(postingsR, outDir, buckets, blockBits,
-      quantizeImpacts)
+    // When the dictionary broadcasts, the encode is driven by the TF ROWS
+    // with impacts computed inside the encoder (PostingBlocks.encodeFromTf)
+    // — the blocks Exchange then ships (tf, doc_len) small ints instead of
+    // impact doubles, a multiple-x compressed-byte cut through the one
+    // shuffle the build pays. Past the ceiling (or legacy v1 tf with no
+    // doc_len) the postings-driven encode remains the exact fallback.
+    if (tfR.columns.contains("doc_len") && numTerms <= maxBroadcastTerms) {
+      val idfMap = new LongDoubleMap(math.max(16, numTerms.toInt))
+      termsR.select("term_id", "idf").collect()
+        .foreach(r => idfMap.put(r.getLong(0), r.getDouble(1)))
+      val bcIdf = spark.sparkContext.broadcast(idfMap)
+      PostingBlocks.writeBlocksFromTf(
+        tfWithId.select("term_id", "doc_id", "tf", "doc_len"),
+        avgdl, bcIdf, outDir, buckets, blockBits, quantizeImpacts)
+    } else {
+      PostingBlocks.writeBlocks(postingsR, outDir, buckets, blockBits,
+        quantizeImpacts)
+    }
 
     val numPostings = postObs.get("n").asInstanceOf[Long]
     Seq(IndexStats(numDocs, totalTokens, avgdl, numTerms, numPostings))

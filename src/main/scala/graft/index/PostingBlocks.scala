@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
 case class PostingRowIn(
     term_id: Long, doc_id: Long, impact: Double, block_id: Long)
 
+/** One tf row routed into the tf-driven block encoder ([[PostingBlocks
+  * .encodeFromTf]]): the impact is computed INSIDE the encode task from a
+  * broadcast idf dictionary, so the build shuffle ships (tf, doc_len)
+  * small ints instead of an 8-byte near-incompressible double.
+  */
+case class TfRowIn(term_id: Long, doc_id: Long, tf: Int, doc_len: Int)
+
 /** Encoded posting block: all postings of one term whose docIds fall in one
   * fixed docId range (block_id = docId >> blockBits).
   *
@@ -103,6 +110,91 @@ object PostingBlocks {
       }
     }
 
+  /** Posting blocks straight from TF ROWS `(term_id, doc_id, tf,
+    * doc_len)` with the BM25 impact computed inside the streaming encode
+    * from a broadcast `(term_id -> idf)` dictionary — the round-5 byte
+    * cut through the one build-dominant Exchange (VERDICT r4 next-step
+    * 1b). The [[encode]] path ships `impact DOUBLE` per posting: 8 bytes
+    * of near-incompressible mantissa through the shuffle. Here the
+    * shuffle ships `(tf INT, doc_len INT)` instead — small, highly
+    * repetitive integers that the shuffle's lz4 squeezes to a fraction
+    * of the doubles — and the impact materializes only inside the
+    * encoder's bounded per-group arrays.
+    *
+    * BIT-EXACT by construction: [[Bm25.impact]] is the scalar twin of
+    * the [[Bm25.impactCol]] operand tree the postings stage uses (same
+    * operand order, same doubles; equivalence asserted block-for-block in
+    * PostingCodecSpec), and idf values come from the same dictionary
+    * table the postings join reads.
+    *
+    * The repartition hashes on (term_id, doc_id >> blockBits) expressions
+    * — nothing extra is shipped for the salt — and within a term the
+    * docId sort IS the block sort (block_id is monotonic in doc_id), so
+    * the sort key needs no block_id column either.
+    */
+  def encodeFromTf(tfRows: DataFrame, avgdl: Double,
+      idf: org.apache.spark.broadcast.Broadcast[LongDoubleMap],
+      blockBits: Int = DefaultBlockBits,
+      quantizeImpacts: Boolean = false): Dataset[PostingBlock] = {
+    val spark = tfRows.sparkSession
+    import spark.implicits._
+    val q8 = quantizeImpacts
+    val bits = blockBits
+    tfRows
+      .select(col("term_id"), col("doc_id"),
+        col("tf").cast("int").as("tf"),
+        col("doc_len").cast("int").as("doc_len"))
+      .repartition(col("term_id"), shiftright(col("doc_id"), bits))
+      .sortWithinPartitions("term_id", "doc_id")
+      .as[TfRowIn]
+      .mapPartitions(it => encodeTfPartition(it, bits, avgdl, idf.value, q8))
+  }
+
+  /** Streaming group encoder over tf rows sorted by (term_id, doc_id) —
+    * the [[encodePartition]] twin with the impact computed per posting
+    * from the broadcast idf map. Group key: (term_id, doc_id >> bits).
+    */
+  private[index] def encodeTfPartition(
+      it: Iterator[TfRowIn],
+      bits: Int,
+      avgdl: Double,
+      idf: LongDoubleMap,
+      q8: Boolean = false): Iterator[PostingBlock] =
+    new Iterator[PostingBlock] {
+      private var pending: TfRowIn = if (it.hasNext) it.next() else null
+      def hasNext: Boolean = pending != null
+      def next(): PostingBlock = {
+        val term = pending.term_id
+        val block = pending.doc_id >> bits
+        val termIdf = idf(term)
+        var cap = 64
+        var docs = new Array[Long](cap)
+        var imps = new Array[Double](cap)
+        var n = 0
+        var blockMax = Double.NegativeInfinity
+        var r = pending
+        while (r != null && r.term_id == term && (r.doc_id >> bits) == block) {
+          if (n == cap) {
+            cap *= 2
+            docs = java.util.Arrays.copyOf(docs, cap)
+            imps = java.util.Arrays.copyOf(imps, cap)
+          }
+          val imp = Bm25.impact(r.tf.toDouble, r.doc_len.toDouble, avgdl, termIdf)
+          docs(n) = r.doc_id; imps(n) = imp
+          if (imp > blockMax) blockMax = imp
+          n += 1
+          r = if (it.hasNext) it.next() else null
+        }
+        pending = r
+        val impArr = java.util.Arrays.copyOf(imps, n)
+        PostingBlock(term, block, n,
+          PostingCodec.encodeDocIds(java.util.Arrays.copyOf(docs, n)),
+          if (q8) PostingCodec.encodeImpactsQ8(impArr)
+          else PostingCodec.encodeImpacts(impArr),
+          blockMax)
+      }
+    }
+
   /** Write encoded blocks as a BUCKETED table (bucketBy block_id, files
     * sorted by (term_id, block_id)) registered in the session catalog with
     * the data under `$outDir/blocks`.
@@ -121,12 +213,38 @@ object PostingBlocks {
     */
   def writeBlocks(postings: DataFrame, outDir: String, numBuckets: Int,
       blockBits: Int = DefaultBlockBits,
+      quantizeImpacts: Boolean = false): Long =
+    writeBlocksEncoded(encode(postings, blockBits, quantizeImpacts),
+      outDir, numBuckets, blockBits, quantizeImpacts)
+
+  /** [[writeBlocks]] from tf rows via [[encodeFromTf]] (the byte-cut
+    * path; caller guarantees the dictionary fits the broadcast).
+    */
+  def writeBlocksFromTf(tfRows: DataFrame, avgdl: Double,
+      idf: org.apache.spark.broadcast.Broadcast[LongDoubleMap],
+      outDir: String, numBuckets: Int,
+      blockBits: Int = DefaultBlockBits,
+      quantizeImpacts: Boolean = false): Long =
+    writeBlocksEncoded(
+      encodeFromTf(tfRows, avgdl, idf, blockBits, quantizeImpacts),
+      outDir, numBuckets, blockBits, quantizeImpacts)
+
+  /** Bucketed-table writer for an already-encoded blocks Dataset (shared
+    * tail of the postings-driven, tf-driven and checkpoint-assembly
+    * paths). The write itself needs no shuffle: each task writes its
+    * groups into per-bucket files after a local sort by the bucket
+    * expression (a bucket may hold files from many tasks — the query
+    * side only needs bucket-level co-location).
+    */
+  def writeBlocksEncoded(blocks: Dataset[PostingBlock], outDir: String,
+      numBuckets: Int,
+      blockBits: Int = DefaultBlockBits,
       quantizeImpacts: Boolean = false): Long = {
-    val spark = postings.sparkSession
+    val spark = blocks.sparkSession
     val table = BuiltIndex.blocksTableName(outDir)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val obs = org.apache.spark.sql.Observation()
-    encode(postings, blockBits, quantizeImpacts)
+    blocks
       .observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))
       .write.format("parquet")

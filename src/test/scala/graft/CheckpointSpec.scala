@@ -215,6 +215,59 @@ class CheckpointSpec extends AnyFunSuite {
       Bm25Query.searchBlocks(idxB, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq)
   }
 
+  test("kill mid-blocks: committed blocks_enc units are not recomputed") {
+    val dirA = Files.createTempDirectory("graft-ckpt-blk-a").toString
+    val dirB = Files.createTempDirectory("graft-ckpt-blk-b").toString
+    val raw = PagesCorpus.pages(spark, n, parts = 4).toDF()
+    // blockBits=6 => 64-doc blocks; 300 docs over 6 slices align to
+    // 64-wide units [0,64) [64,128) [128,192) [192,256) [256,300) — five
+    // non-empty blocks_enc units
+    val idxB = CheckpointedBuild.build(spark, raw, dirB, slices = 6,
+      blockBits = 6)
+
+    // die after the 2nd committed blocks_enc unit
+    var committed = 0
+    intercept[Boom] {
+      CheckpointedBuild.build(spark, raw, dirA, slices = 6, blockBits = 6,
+        onUnitCommitted = (stage, _) => {
+          if (stage == "blocks_enc") {
+            committed += 1; if (committed == 2) throw Boom()
+          }
+        })
+    }
+    assert((0 until 2).forall(u =>
+      CheckpointedBuild.isCommitted(s"$dirA/blocks_enc/unit=$u")))
+    assert(!CheckpointedBuild.isCommitted(s"$dirA/blocks_enc/unit=2"))
+    assert(!CheckpointedBuild.isCommitted(s"$dirA/blocks"))
+    val before = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "blocks_enc")
+      .collect().map(r => r.getAs[Int]("part") -> r.getAs[Long]("committed_at")).toMap
+    assert(before.keySet == Set(0, 1))
+
+    val idxA = CheckpointedBuild.build(spark, raw, dirA, slices = 6,
+      blockBits = 6)
+    val after = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "blocks_enc")
+      .collect().map(r => r.getAs[Int]("part") -> r.getAs[Long]("committed_at")).toMap
+    assert(after.size == 5) // unit 5 is past hi -> empty, never commits
+    (0 until 2).foreach(u =>
+      assert(after(u) == before(u), s"blocks_enc unit $u recomputed"))
+
+    // full bit-level content identity of the serving blocks table
+    def blocksBytes(path: String): Map[(Long, Long), (Int, Seq[Byte], Seq[Byte], Double)] =
+      spark.read.parquet(s"$path/blocks").collect().map { r =>
+        (r.getAs[Long]("term_id"), r.getAs[Long]("block_id")) ->
+          ((r.getAs[Int]("n"), r.getAs[Array[Byte]]("docs_enc").toSeq,
+            r.getAs[Array[Byte]]("impacts_enc").toSeq,
+            r.getAs[Double]("block_max")))
+      }.toMap
+    assert(blocksBytes(dirA) == blocksBytes(dirB))
+    assert(idxA.stats == idxB.stats)
+    val q = PagesCorpus.vocab(2)
+    assert(Bm25Query.searchBlocks(idxA, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq ==
+      Bm25Query.searchBlocks(idxB, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq)
+  }
+
   test("resume of a dir with committed units but NO config manifest " +
       "invalidates everything (pre-fingerprinting dirs)") {
     val dirA = Files.createTempDirectory("graft-ckpt-noconfig").toString
@@ -252,8 +305,8 @@ class CheckpointSpec extends AnyFunSuite {
       dir, slices = 2)
     val m = CheckpointedBuild.manifest(spark, dir).collect()
     val stages = m.map(_.getAs[String]("stage")).toSet
-    assert(stages ==
-      Set("config", "tf", "docs", "terms", "postings", "blocks", "stats"))
+    assert(stages == Set("config", "tf", "docs", "terms", "postings",
+      "blocks_enc", "blocks", "stats"))
     m.foreach { r =>
       assert(r.getAs[Long]("rows") >= 0)
       assert(r.getAs[String]("lineage").nonEmpty)
