@@ -195,6 +195,39 @@ object SparkEntry {
         .select(col("qid"), col("doc_id"), round(col("score"), 4).as("score"))
     }),
 
+    // batched serving across QUERY CLASSES (round 5): plain, url-glob
+    // filtered, and rank-boosted queries answered through the one-job
+    // batch kernel — per-query results must equal the single-query paths
+    // (and therefore the oracle) exactly
+    "k1_bm25_batch_mixed" -> ((s, dir) => {
+      import graft.query.BatchQuery
+      val idx = indexFor(s, dir)
+      val rank = Deps.staticRank(gateEdges(s, dir))
+      val res = Bm25Query.searchBlocksBatchEx(idx, Seq(
+        BatchQuery("spark merge window"),
+        BatchQuery("data join", include = Seq("doc-1*")),
+        BatchQuery("data join", boosted = true)), 10, Some(rank))
+      import s.implicits._
+      res.zipWithIndex.flatMap { case (hits, qi) =>
+        hits.map(h => (qi.toLong, h.doc_id, h.score))
+      }.toDF("qid", "doc_id", "score")
+        .select(col("qid"), col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
+    // batched line-level serving: one job materializes the line records
+    // of the whole batch; must equal searchWithLines (and its oracle)
+    "p7_line_matches_batch" -> ((s, dir) => {
+      val rows = Bm25Query.searchWithLinesBatch(indexFor(s, dir),
+        documents(s, dir),
+        Seq(graft.query.BatchQuery("vector stream", conjunctive = false)), 10)
+        .head
+      import s.implicits._
+      s.createDataset(rows).toDF()
+        .select(col("doc_id"), col("rank"), col("line_number"),
+          col("match_start"), col("match_end"), col("snippet"),
+          round(col("score"), 4).as("score"))
+    }),
+
     "p5_filtered_search" -> ((s, dir) => {
       val scored = Bm25Query
         .scoredNaive(indexFor(s, dir), "data join", conjunctive = true).get
@@ -535,13 +568,19 @@ object SparkEntry {
   private val TfCte =
     s"$ToksCte, tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)"
 
-  /** Full BM25 CTE chain (shared by the top-k oracles). */
+  /** Full BM25 CTE chain (shared by the top-k oracles). `extraFilter` is
+    * an arbitrary SQL condition over the joined documents row `dx` (used
+    * by the batched url-glob gate).
+    */
   private def bm25Sql(terms: Seq[String], conjunctive: Boolean,
-      k: Int, langFilter: Option[String] = None): String = {
+      k: Int, langFilter: Option[String] = None,
+      extraFilter: Option[String] = None): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val conjFilter = if (conjunctive) s"HAVING count(*) = ${terms.size}" else ""
     val joinLang = langFilter
       .map(l => s"JOIN documents d ON d.doc_id = agg.doc_id AND d.lang = '$l'")
+      .getOrElse("") + extraFilter
+      .map(f => s" JOIN documents dx ON dx.doc_id = agg.doc_id AND ($f)")
       .getOrElse("")
     s"""$TfCte,
        |dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
@@ -687,6 +726,41 @@ object SparkEntry {
          |ORDER BY agg.score * coalesce(rnk.sr, 1.0) DESC, agg.doc_id ASC
          |LIMIT 10""".stripMargin
 
+  /** Line-records oracle ('vector stream' OR top-10, per-line earliest
+    * match) — shared by the single and batched lines gates, which must
+    * produce identical rows.
+    */
+  private def oracleSqlLineMatches: String =
+    s"""$TfCte,
+       |dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |              (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT unnest(['vector', 'stream']) AS term),
+       |sc AS (SELECT tf.doc_id,
+       |              ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) *
+       |              ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doc_len / st.avgdl)))) AS s
+       |       FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), st),
+       |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY 1),
+       |tk AS (SELECT doc_id, score,
+       |              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       |       FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10),
+       |l AS (SELECT tk.doc_id, tk.rank, tk.score,
+       |             unnest(string_split(d.text, chr(10))) AS line,
+       |             unnest(range(1, len(string_split(d.text, chr(10))) + 1)) AS ln
+       |      FROM tk JOIN documents d USING (doc_id)),
+       |m AS (SELECT doc_id, rank, score, ln, line,
+       |             least(coalesce(nullif(strpos(lower(line), 'vector'), 0), 999999999),
+       |                   coalesce(nullif(strpos(lower(line), 'stream'), 0), 999999999)) AS p
+       |      FROM l),
+       |f AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ln) AS rn
+       |      FROM m WHERE p < 999999999)
+       |SELECT doc_id, rank, ln AS line_number, p AS match_start,
+       |       p + 6 AS match_end,
+       |       substr(line, greatest(1, p - 200), 400) AS snippet,
+       |       round(score, 4) AS score
+       |FROM f WHERE rn <= 100""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_simhash" -> simhashOracleSql,
     "sim_lsh_neardups" -> lshOracleSql,
@@ -767,6 +841,23 @@ object SparkEntry {
          |UNION ALL
          |SELECT 1 AS qid, doc_id, score FROM (
          |${bm25Sql(Seq("vector", "stream"), conjunctive = false, k = 20)})""".stripMargin,
+
+    // per-class oracles composed with qid: plain AND, url-glob filtered
+    // ('doc-1*' over urls 'doc-<id>' == doc_id decimal string starts
+    // with '1'), and the boosted-class oracle (k3OracleSql)
+    "k1_bm25_batch_mixed" ->
+      s"""SELECT 0 AS qid, doc_id, score FROM (
+         |${bm25Sql(Seq("spark", "merge", "window"), conjunctive = true, k = 10)})
+         |UNION ALL
+         |SELECT 1 AS qid, doc_id, score FROM (
+         |${bm25Sql(Seq("data", "join"), conjunctive = true, k = 10,
+             extraFilter = Some("CAST(dx.doc_id AS VARCHAR) LIKE '1%'"))})
+         |UNION ALL
+         |SELECT 2 AS qid, doc_id, score FROM (
+         |$k3OracleSql)""".stripMargin,
+
+    // identical results contract: batched lines == single-path lines
+    "p7_line_matches_batch" -> oracleSqlLineMatches,
 
     "p5_filtered_search" ->
       bm25Sql(Seq("data", "join"), conjunctive = true, k = 10, langFilter = Some("en")),
@@ -930,36 +1021,7 @@ object SparkEntry {
       """SELECT doc_id, CAST(0.0 AS DOUBLE) AS score FROM documents
         |ORDER BY doc_id ASC LIMIT 10""".stripMargin,
 
-    "p7_line_matches" ->
-      s"""$TfCte,
-         |dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
-         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
-         |              (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
-         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |q AS (SELECT unnest(['vector', 'stream']) AS term),
-         |sc AS (SELECT tf.doc_id,
-         |              ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0) *
-         |              ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.doc_len / st.avgdl)))) AS s
-         |       FROM tf JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), st),
-         |agg AS (SELECT doc_id, sum(s) AS score FROM sc GROUP BY 1),
-         |tk AS (SELECT doc_id, score,
-         |              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
-         |       FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10),
-         |l AS (SELECT tk.doc_id, tk.rank, tk.score,
-         |             unnest(string_split(d.text, chr(10))) AS line,
-         |             unnest(range(1, len(string_split(d.text, chr(10))) + 1)) AS ln
-         |      FROM tk JOIN documents d USING (doc_id)),
-         |m AS (SELECT doc_id, rank, score, ln, line,
-         |             least(coalesce(nullif(strpos(lower(line), 'vector'), 0), 999999999),
-         |                   coalesce(nullif(strpos(lower(line), 'stream'), 0), 999999999)) AS p
-         |      FROM l),
-         |f AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ln) AS rn
-         |      FROM m WHERE p < 999999999)
-         |SELECT doc_id, rank, ln AS line_number, p AS match_start,
-         |       p + 6 AS match_end,
-         |       substr(line, greatest(1, p - 200), 400) AS snippet,
-         |       round(score, 4) AS score
-         |FROM f WHERE rn <= 100""".stripMargin,
+    "p7_line_matches" -> oracleSqlLineMatches,
 
     "sym_extract" ->
       """WITH l AS (SELECT doc_id,
