@@ -486,6 +486,13 @@ object SparkEntry {
       graft.query.RegexQuery.search(indexFor(s, dir), documents(s, dir),
         "\\w+tor\\s", 1000).toDF().select("doc_id")),
 
+    // infix literal (unbounded both sides): pushed In(gram) probes over
+    // the character-trigram dictionary dimension (round 5), then exact
+    // containment verify on the candidate rows only
+    "p3_regex_infix" -> ((s, dir) =>
+      graft.query.RegexQuery.search(indexFor(s, dir), documents(s, dir),
+        "\\w+ustome\\w+", 1000).toDF().select("doc_id")),
+
     // --- W2: fast-rank cut — rank on cheap metadata, rescore top slice ---
     "w2_fast_rank" -> ((s, dir) => {
       val top = documents(s, dir)
@@ -1071,6 +1078,10 @@ object SparkEntry {
     "p3_regex_suffix" ->
       """SELECT doc_id FROM documents
         |WHERE regexp_matches(lower(text), '\w+tor\s')""".stripMargin,
+
+    "p3_regex_infix" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(lower(text), '\w+ustome\w+')""".stripMargin,
 
     "u2_except" ->
       """SELECT doc_id FROM documents WHERE lang = 'en'

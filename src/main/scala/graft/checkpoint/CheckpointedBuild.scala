@@ -208,7 +208,10 @@ object CheckpointedBuild {
         case st =>
           rmrf(spark, s"$outDir/$st")
           if (st == "blocks") rmrf(spark, s"$outDir/blocks_meta")
-          if (st == "terms") rmrf(spark, s"$outDir/terms_rev")
+          if (st == "terms") {
+            rmrf(spark, s"$outDir/terms_rev")
+            rmrf(spark, s"$outDir/terms_ngrams")
+          }
           rmManifestPrefix(spark, outDir, st)
       }
       Seq(ManifestRow("config_reconcile", 0, victims.size, 0,
@@ -258,8 +261,8 @@ object CheckpointedBuild {
         // downstream tables are pure functions of ALL slices — invalidate
         // (blocks_enc units too: idf/avgdl are corpus-global, so no
         // per-unit staleness triage is sound there)
-        Seq("docs", "terms", "terms_rev", "postings", "blocks_enc",
-            "blocks", "blocks_meta", "stats")
+        Seq("docs", "terms", "terms_rev", "terms_ngrams", "postings",
+            "blocks_enc", "blocks", "blocks_meta", "stats")
           .foreach(st => rmrf(spark, s"$outDir/$st"))
         Seq("docs", "terms", "postings", "blocks_enc", "blocks", "stats")
           .foreach(st => rmManifestPrefix(spark, outDir, st))

@@ -33,7 +33,9 @@ case class Page(
   *     are hand-computable);
   *   - html encodings restricted to the deterministic-decode cases of the
   *     reference transcoder (UTF-8 / UTF-8 BOM / UTF-16LE / UTF-16BE /
-  *     BOM-less ISO-8859-1 with printable-range high bytes);
+  *     BOM-less ISO-8859-1 with printable-range high bytes / BOM-less
+  *     windows-1252 with C1 bytes / DECLARED Shift_JIS and KOI8-R via
+  *     in-content meta tags — the round-5 declaration-wins branch);
   *   - a few safety-gate rows (bracket nesting > 500) that
   *     `content_safety_check` must drop.
   */
@@ -158,6 +160,11 @@ object PagesCorpus {
     // 0x80-0x9F bytes
     if (row % 20 == 3) sb.append(Latin1Tail)
     if (row % 20 == 7) sb.append(Cp1252Tail)
+    // declared-charset cases (round 5, Extract v4): the meta declaration
+    // is part of the page content, so it is part of the ground-truth
+    // extracted text too (the transcoder decodes the whole buffer)
+    if (row % 20 == 4) { sb.insert(0, SjisMeta); sb.append(SjisTail) }
+    if (row % 20 == 5) { sb.insert(0, Koi8Meta); sb.append(Koi8Tail) }
     sb.toString
   }
 
@@ -169,6 +176,22 @@ object PagesCorpus {
     * printable-range ï (0xEF).
     */
   val Cp1252Tail = " \u201cquoted\u201d na\u00efve\u2014dash \u20ac9"
+
+  /** Declared Shift_JIS case (row%20==4): multi-byte Japanese tail \u2014
+    * invalid UTF-8 and outside every byte heuristic; only the
+    * declaration branch (Extract v4) reaches it.
+    */
+  val SjisMeta = "<meta charset=shift_jis> "
+  val SjisTail = " \u30c6\u30b9\u30c8 \u691c\u7d22\u6f22\u5b57"
+
+  /** Declared KOI8-R case (row%20==5): the DISAGREE row \u2014 KOI8-R
+    * Cyrillic bytes live entirely in 0xA0-0xFF, so the ISO-8859-1 byte
+    * heuristic would happily decode them as Latin-1 mojibake; the
+    * declaration must WIN (browser behavior), yielding real Cyrillic.
+    */
+  val Koi8Meta =
+    "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=koi8-r\"> "
+  val Koi8Tail = " \u043f\u0440\u0438\u0432\u0435\u0442 \u043f\u043e\u0438\u0441\u043a"
 
   /** Ground-truth EXTRACTED text (what the transcoder must reproduce
     * byte-identically per url). A BOM'd UTF-8 buffer is itself valid
@@ -195,6 +218,11 @@ object PagesCorpus {
           t.getBytes(StandardCharsets.UTF_8)
       case 3 => // BOM-less ISO-8859-1 (deterministic chardetng subset)
         t.getBytes(StandardCharsets.ISO_8859_1)
+      case 4 => // DECLARED Shift_JIS (<meta charset=..> in the content)
+        t.getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+      case 5 => // DECLARED KOI8-R via http-equiv; bytes ALSO satisfy the
+        // ISO-8859-1 heuristic — declaration wins (disagree case)
+        t.getBytes(java.nio.charset.Charset.forName("KOI8-R"))
       case 7 => // BOM-less windows-1252 (C1 bytes -> cp1252 branch)
         t.getBytes(java.nio.charset.Charset.forName("windows-1252"))
       case _ => t.getBytes(StandardCharsets.UTF_8)

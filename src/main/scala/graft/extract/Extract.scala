@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions.udf
   *   2. UTF-8 BOM (EF BB BF)     -> strip BOM, re-validate
   *   3. UTF-16LE BOM (FF FE)     -> decode UTF-16LE (BOM consumed)
   *   4. UTF-16BE BOM (FE FF)     -> decode UTF-16BE (BOM consumed)
-  *   5. statistical charset guess (chardetng) — NOT reproducible on the
+  *   5. DECLARED charset (v4)    -> <meta charset=..> prescan; a supported
+  *      declaration wins (browser behavior) — Shift_JIS/EUC/KOI8/GBK/...
+  *   6. statistical charset guess (chardetng) — NOT reproducible on the
   *      JVM; this engine implements its deterministic SUBSET: non-binary
   *      content whose high bytes are all 0xA0-0xFF decodes as ISO-8859-1,
   *      anything else (incl. the windows-1252-ish C1 range) is rejected
   *      rather than guessed (documented restriction, SURVEY.md §7.4).
-  *   6. binary-looking content   -> reject
+  *   7. binary-looking content   -> reject
   *
   * The per-row invariant (BASELINE.json input_hint) — extracted text is
   * byte-identical per url to the ground-truth `text` column — is asserted
@@ -33,8 +35,10 @@ object Extract {
     * checkpoint config fingerprint (see CheckpointedBuild).
     * v2: deterministic ISO-8859-1 fallback branch.
     * v3: deterministic windows-1252 branch (C1 bytes present).
+    * v4: declared-charset branch (<meta charset=..> prescan; declaration
+    *     wins over the byte heuristics, as in browsers).
     */
-  val Version = 3
+  val Version = 4
 
   // decoders are reused per thread — a fresh CharsetDecoder per row was
   // measurable allocation/GC pressure in the extraction stage, which is
@@ -108,6 +112,28 @@ object Extract {
         }
       }
     }
+    // 5. DECLARED charset (v4): WHATWG-style prescan of the first 1024
+    // bytes for <meta ... charset=...>; when a supported legacy charset
+    // is declared, the DECLARATION WINS over the byte heuristics below
+    // (as in browsers) — notably for non-Latin single/multi-byte pages
+    // (Shift_JIS, EUC-JP/KR, KOI8, GBK, Big5) whose bytes the Latin
+    // rules would mojibake or reject. Deterministic: fixed alias table,
+    // first charset-bearing meta tag in the prescan window decides; a
+    // declared charset whose strict decode fails falls through to the
+    // heuristics (never worse than before). The reference reaches these
+    // pages statistically via chardetng (utils.rs:59-68); honoring the
+    // page's own label is the deterministic slice of that behavior.
+    if (!isBinaryBytes(bytes)) {
+      declaredCharset(bytes) match {
+        case Some(cs) =>
+          strictDecode(bytes, 0, cs) match {
+            case Some(s) => return Some(s)
+            case None =>
+          }
+        case None =>
+      }
+    }
+
     // Reference falls through to chardetng here (utils.rs:59-68). The
     // statistical detector is not reproducible on the JVM, so this engine
     // implements DETERMINISTIC single-byte rules in its place:
@@ -145,6 +171,68 @@ object Extract {
         return strictDecode(bytes, 0,
           java.nio.charset.Charset.forName("windows-1252"))
       if (anyHigh) return Some(new String(bytes, StandardCharsets.ISO_8859_1))
+    }
+    None
+  }
+
+  /** Charset names honored from an in-document declaration: fixed alias
+    * table over JVM-supported legacy charsets (plus the ISO-8859-N /
+    * windows-125N families), filtered at init so an exotic JVM without
+    * one of them degrades to the heuristics instead of throwing.
+    * utf-16 declarations are deliberately absent (a BOM-less page
+    * declaring utf-16 in ASCII markup is self-contradictory; WHATWG maps
+    * it to utf-8, which step 1 already tried). Labels are honored at
+    * face value — NOT WHATWG's legacy remapping (latin1 -> cp1252);
+    * face value is the more predictable choice, and UNLABELED
+    * C1-carrying pages keep the cp1252 byte heuristic below.
+    */
+  private val DeclaredCharsetAliases: Map[String, String] = {
+    val base = Map(
+      "shift_jis" -> "Shift_JIS", "shift-jis" -> "Shift_JIS",
+      "sjis" -> "Shift_JIS", "x-sjis" -> "Shift_JIS",
+      "windows-31j" -> "windows-31j", "ms932" -> "windows-31j",
+      "euc-jp" -> "EUC-JP", "euc-kr" -> "EUC-KR",
+      "ks_c_5601-1987" -> "EUC-KR",
+      "koi8-r" -> "KOI8-R", "koi8-u" -> "KOI8-U", "koi8" -> "KOI8-R",
+      "gb2312" -> "GB2312", "gbk" -> "GBK", "gb18030" -> "GB18030",
+      "big5" -> "Big5", "tis-620" -> "TIS-620",
+      "us-ascii" -> "US-ASCII", "ascii" -> "US-ASCII",
+      "utf-8" -> "UTF-8", "utf8" -> "UTF-8", "latin1" -> "ISO-8859-1")
+    val iso = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 13, 14, 15, 16)
+      .map(i => s"iso-8859-$i" -> s"ISO-8859-$i")
+    val win = (0 to 8).flatMap(i => Seq(
+      s"windows-125$i" -> s"windows-125$i", s"cp125$i" -> s"windows-125$i"))
+    (base ++ iso ++ win).filter { case (_, cs) =>
+      try java.nio.charset.Charset.isSupported(cs)
+      catch { case _: Exception => false }
+    }
+  }
+
+  private val MetaTagRx = java.util.regex.Pattern.compile("(?i)<meta[^>]*>")
+  private val CharsetAttrRx = java.util.regex.Pattern.compile(
+    "(?i)charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9][A-Za-z0-9._:-]*)")
+
+  /** WHATWG-style prescan: the first `<meta ...>` tag carrying a
+    * `charset=` (either the html5 attribute or inside an http-equiv
+    * Content-Type `content` value — the regex serves both) within the
+    * first 1024 bytes decides. The window is read as ISO-8859-1 (an
+    * ASCII-transparent view; every honored charset is an ASCII
+    * superset, and the tag itself is ASCII). None = no declaration, an
+    * unsupported name, or a non-charset-bearing meta soup.
+    */
+  private[extract] def declaredCharset(
+      bytes: Array[Byte]): Option[java.nio.charset.Charset] = {
+    val n = math.min(bytes.length, 1024)
+    if (n == 0) return None
+    val head = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
+    val m = MetaTagRx.matcher(head)
+    while (m.find()) {
+      val c = CharsetAttrRx.matcher(m.group())
+      if (c.find()) {
+        val name = c.group(1).toLowerCase(java.util.Locale.ROOT)
+        return DeclaredCharsetAliases.get(name)
+          .map(java.nio.charset.Charset.forName)
+      }
     }
     None
   }

@@ -52,6 +52,26 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
       org.apache.spark.sql.functions.col("term_id"))
   }
 
+  /** Character-trigram dimension (gram, term_id), files sorted by gram:
+    * infix dictionary lookups (`%foo%` from regex literal analysis)
+    * become pushed In(gram) probes that prune row groups instead of a
+    * full containment scan of the dictionary. A pre-round-5 index
+    * without the artifact derives it on the fly (correct, unpruned).
+    */
+  lazy val termsNgrams: DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/terms_ngrams")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$path/terms_ngrams")
+    else terms.select(
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          """array_distinct(CASE WHEN length(term) >= 3
+            |THEN transform(sequence(1, length(term) - 2),
+            |               i -> substring(term, i, 3))
+            |ELSE array() END)""".stripMargin)).as("gram"),
+      org.apache.spark.sql.functions.col("term_id"))
+  }
+
   /** Raw token-frequency rows (term, doc_id, tf[, doc_len]) — the build
     * intermediate every derived table re-reads on rebuilds. Batch builds
     * write it at {path}/tf; checkpointed builds at {path}/tf/slice=p,
@@ -307,6 +327,20 @@ object IndexBuilder {
       .select(reverse(col("term")).as("term_rev"), col("term_id"))
       .sortWithinPartitions("term_rev")
       .write.mode("overwrite").parquet(s"${termsDir}_rev")
+    // character-trigram dimension (INFIX regex lookups, round 5): one
+    // (gram, term_id) row per distinct trigram of each dictionary term,
+    // files sorted by gram so a pushed In(gram) probe prunes row groups —
+    // the reference's trigram trick (trigram.rs:130-162) applied to the
+    // DICTIONARY (orders of magnitude smaller than the corpus). `%foo%`
+    // lookups previously paid a full containment scan of terms.
+    spark.read.parquet(termsDir)
+      .select(explode(expr(
+        """array_distinct(CASE WHEN length(term) >= 3
+          |THEN transform(sequence(1, length(term) - 2),
+          |               i -> substring(term, i, 3))
+          |ELSE array() END)""".stripMargin)).as("gram"), col("term_id"))
+      .sortWithinPartitions("gram")
+      .write.mode("overwrite").parquet(s"${termsDir}_ngrams")
     n
   }
 

@@ -371,9 +371,11 @@ object RegexQuery {
     *     belt-and-braces at zero cost);
     *   - suffix `%foo`:  a range on the REVERSED-term dimension
     *     (terms_rev, sorted by term_rev): term_rev >= 'oof' AND < 'oog';
-    *   - infix `%foo%`:  the honest dictionary scan (no sorted order can
-    *     serve an infix; the reference's trigram index pays its own analog
-    *     here by unioning all trigrams of the literal).
+    *   - infix `%foo%`:  pushed In(gram) probes over the sorted
+    *     character-trigram dimension (terms_ngrams) -> candidate ids ->
+    *     exact containment verify on just those rows (round 5; the
+    *     reference's trigram trick, trigram.rs:130-162, applied to the
+    *     dictionary). Literals under 3 CHARS keep the containment scan.
     */
   private def candidatesByLiterals(index: BuiltIndex,
       lits: Seq[Lit]): DataFrame = {
@@ -414,9 +416,37 @@ object RegexQuery {
         index.termsRev.where(range && col("term_rev").like(esc(rev) + "%"))
           .select("term_id")
       case (false, false) =>
-        index.terms.where(col("term").like("%" + esc(l.text) + "%"))
-          .select("term_id")
+        val grams = trigrams(l.text)
+        if (grams.nonEmpty) {
+          // infix via the character-trigram dimension (round 5): terms
+          // containing ALL trigrams of the literal (pushed In(gram)
+          // probes over the sorted ngram files — the reference's trigram
+          // trick on the dictionary, trigram.rs:130-162), then an exact
+          // containment verify on just those candidate rows (trigram
+          // containment is necessary, not sufficient: order can differ)
+          val cand = index.termsNgrams
+            .where(col("gram").isin(grams: _*))
+            .groupBy("term_id")
+            .agg(countDistinct(col("gram")).as("ng"))
+            .where(col("ng") === grams.size)
+            .select("term_id")
+          index.terms.join(cand, Seq("term_id"), "left_semi")
+            .where(col("term").like("%" + esc(l.text) + "%"))
+            .select("term_id")
+        } else
+          // literal shorter than a trigram in CHARS (can happen for
+          // multi-byte scripts: byte length > 2, char length < 3) — the
+          // honest containment scan remains
+          index.terms.where(col("term").like("%" + esc(l.text) + "%"))
+            .select("term_id")
     }
+
+  /** Distinct character trigrams of a literal (char semantics — matches
+    * the SQL `substring` the ngram artifact is built with).
+    */
+  private[graft] def trigrams(s: String): Seq[String] =
+    if (s.length < 3) Nil
+    else (0 to s.length - 3).map(i => s.substring(i, i + 3)).distinct
 
   /** Union of per-branch candidate sets (a match satisfies some branch). */
   private def candidatesByBranches(index: BuiltIndex,
