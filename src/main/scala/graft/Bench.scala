@@ -29,8 +29,10 @@ object Bench {
     "k3_boosted_blocks" -> "conjunctive",
     "k1_bm25_topk_or" -> "disjunctive",
     "k1_bm25_batch" -> "disjunctive",
+    "k1_bm25_batch_mixed" -> "disjunctive",
     "p4_short_query" -> "disjunctive",
     "p7_line_matches" -> "serving_lines",
+    "p7_line_matches_batch" -> "serving_lines",
     "p7_substring_pos" -> "needle",
     "p8_snippet" -> "needle",
     "p3_regex_accel" -> "regex",
@@ -38,6 +40,7 @@ object Bench {
     "p3_regex_alt" -> "regex",
     "p3_regex_prefix" -> "regex",
     "p3_regex_suffix" -> "regex",
+    "p3_regex_infix" -> "regex",
     // index/aggregate derivations
     "a1_postings" -> "agg",
     "a6_doclen" -> "agg",
