@@ -765,25 +765,13 @@ object Bm25Query {
     // ONE job resolves the mode in the common case: collect up to cap+1
     // distinct ids — under the cap that IS the full allow set (no
     // separate count() pass; distinct also makes a duplicate-bearing
-    // input count against the broadcast budget only once)
-    val lim = math.min(maxBroadcastDocs + 1, Int.MaxValue.toLong - 1).toInt
+    // input count against the broadcast budget only once); an over-cap
+    // allow set ships its complement as a deny list if THAT fits
+    // (resolveDocFilter — shared with the batch planner)
     val allowedIds = allowedDocs.select(col("doc_id").cast("long")).distinct()
-    val sample = allowedIds.limit(lim).as[Long].collect()
-    if (sample.isEmpty) return emptyHits(spark)
-    val filter: Option[DocFilter] =
-      if (sample.length <= maxBroadcastDocs) {
-        java.util.Arrays.sort(sample)
-        Some(DocFilter(sample, isAllow = true))
-      } else {
-        // dense filter: ship the complement as a deny list if IT fits
-        val comp = index.docs.select(col("doc_id"))
-          .join(allowedIds, Seq("doc_id"), "left_anti")
-          .limit(lim).as[Long].collect()
-        if (comp.length <= maxBroadcastDocs) {
-          java.util.Arrays.sort(comp)
-          Some(DocFilter(comp, isAllow = false))
-        } else None
-      }
+    val filter = resolveDocFilter(index, allowedDocs, maxBroadcastDocs)
+    if (filter.exists(f => f.isAllow && f.sorted.isEmpty))
+      return emptyHits(spark)
     filter match {
       case Some(f) =>
         scoredBlocks(index, query, kk, conjunctive, adaptiveThreshold,

@@ -78,6 +78,19 @@ object PlanDump {
         conjunctive = true, allowDense)
       shardScored.get.explain("formatted")
       cleanupShards()
+      println("### PLAN 13: blocks encode FROM TF ROWS (round 5 byte cut — the one build shuffle ships (tf INT, doc_len INT), impacts computed in-task from the broadcast idf dict)")
+      val idfMap = new graft.index.LongDoubleMap(
+        math.max(16, idx.stats.num_terms.toInt))
+      idx.terms.select("term_id", "idf").collect()
+        .foreach(r => idfMap.put(r.getLong(0), r.getDouble(1)))
+      graft.index.PostingBlocks.encodeFromTf(
+        idx.tfRows.select("term_id", "doc_id", "tf", "doc_len"),
+        idx.stats.avgdl, spark.sparkContext.broadcast(idfMap))
+        .explain("formatted")
+      println("### PLAN 14: regex INFIX literal lookup (pushed In(gram) probes over the trigram dimension, containment verify on candidates only)")
+      graft.query.RegexQuery.termIdsForLiteral(idx,
+        graft.query.RegexQuery.Lit("ecto", leftBound = false, rightBound = false))
+        .explain("formatted")
     }
     out.close()
     spark.stop()

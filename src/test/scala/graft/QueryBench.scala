@@ -114,6 +114,50 @@ object QueryBench {
     println(f"[loadtest:batched] queries=${batch.size} rounds=$rounds " +
       f"best_wall=${bBest}%.0fms amortized=${bBest / batch.size}%.1fms/query " +
       f"qps=${batch.size / (bBest / 1000.0)}%.1f")
+
+    // Round 5: the FULL class mix batched — filtered and boosted queries
+    // now ride the same one-job kernel (searchBlocksBatchEx), so the
+    // amortization story covers every block-path class, not just plain
+    // AND/OR. Rank/filters resolve once per batch.
+    import graft.query.BatchQuery
+    import org.apache.spark.sql.functions.lit
+    val rank = idx.docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        (lit(1.0) + (col("doc_id") % 7).cast("double") * 0.25).as("static_rank"))
+    val mixed: Seq[BatchQuery] =
+      (0 until 10).map(i => BatchQuery(PagesCorpus.needleTerm(i))) ++
+      (0 until 10).map(i => BatchQuery(
+        s"${PagesCorpus.vocab(3 + i)} ${PagesCorpus.vocab(40 + 7 * i)}")) ++
+      (0 until 5).map(i => BatchQuery(
+        s"${PagesCorpus.vocab(20 + i)} ${PagesCorpus.vocab(100 + i)}",
+        conjunctive = false)) ++
+      (0 until 3).map(i => BatchQuery(
+        s"${PagesCorpus.vocab(5 + i)} ${PagesCorpus.vocab(60 + i)}",
+        include = Seq("https://site-01*.example/**"))) ++
+      (0 until 2).map(i => BatchQuery(PagesCorpus.vocab(9 + i), boosted = true))
+    Bm25Query.searchBlocksBatchEx(idx, mixed, 10, Some(rank)) // warm
+    val mt = (0 until rounds).map { _ =>
+      val t0 = System.nanoTime()
+      Bm25Query.searchBlocksBatchEx(idx, mixed, 10, Some(rank))
+      (System.nanoTime() - t0) / 1e6
+    }
+    val mBest = mt.min
+    println(f"[loadtest:batched_mixed] queries=${mixed.size} " +
+      f"(plain=25 filtered=3 boosted=2) rounds=$rounds " +
+      f"best_wall=${mBest}%.0fms amortized=${mBest / mixed.size}%.1fms/query " +
+      f"qps=${mixed.size / (mBest / 1000.0)}%.1f")
+
+    // batched LINES class: hits + line records in two jobs total
+    val lq = (0 until 3).map(i => BatchQuery(PagesCorpus.vocab(30 + i)))
+    Bm25Query.searchWithLinesBatch(idx, pages, lq, 10) // warm
+    val lt = (0 until rounds).map { _ =>
+      val t0 = System.nanoTime()
+      Bm25Query.searchWithLinesBatch(idx, pages, lq, 10)
+      (System.nanoTime() - t0) / 1e6
+    }
+    val lBest = lt.min
+    println(f"[loadtest:batched_lines] queries=${lq.size} rounds=$rounds " +
+      f"best_wall=${lBest}%.0fms amortized=${lBest / lq.size}%.1fms/query")
     spark.stop()
   }
 }
