@@ -347,6 +347,22 @@ object SparkEntry {
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
 
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      import s.implicits._
+      val cents = Similarity.centroids(e, "vec_id", "embedding", 8)
+        .as[(Long, Seq[Double])].collect().toSeq
+        .map { case (c, v) => (c.toInt, v) }.sortBy(_._1)
+      val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", PqSub, PqCodes)
+      val assigned = Similarity.pqEncode(
+        Similarity.ivfAssign(e, "vec_id", "embedding", cents), "embedding", cbs)
+      Similarity.ivfPqTopK(assigned, "vec_id", "embedding", cents, cbs, q,
+        10, nProbe = 2, refine = PqRefine, excludeId = Some(0L))
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
+
     "sim_lsh_neardups" -> ((s, dir) =>
       Similarity.embeddingNearDups(embeddings(s, dir), "vec_id", "embedding", 8, 0.4)
         .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))),
@@ -645,6 +661,13 @@ object SparkEntry {
 
   /** Embedding dim of the test tables (all sf dirs emit 64). */
   private val EmbDim = 64
+  /** IVF-PQ shape: 4 subspaces of 16 dims, 16 codes each (4-bit codes —
+    * 2 bytes/vector vs 256 raw), ADC funnel keeps the top 50 for the
+    * exact re-rank.
+    */
+  private val PqSub = 4
+  private val PqCodes = 16
+  private val PqRefine = 50
 
   /** Ordered left-fold dot product — bit-identical to Similarity.dotLit's
     * `aggregate` fold (same products, same summation order).
@@ -709,6 +732,71 @@ object SparkEntry {
        |ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id ASC
        |LIMIT 10""".stripMargin
 
+  /** sim_ivfpq_topk: full replication of the IVF-PQ funnel — vectors
+    * unit-normalized, PQ codebooks (pmod(id,16) seed-cluster element
+    * means of the normalized space sliced into 4 subspaces of 16 dims),
+    * per-vector per-subspace argmin codes (ties -> smallest code), ADC
+    * approx-cosine = sum of the query's per-code dot LUT, IVF probe
+    * filter (2 of 8 cells), top-[[PqRefine]] ADC candidates, then EXACT
+    * cosine re-rank of the survivors (bit-identical `cosSql` fold) for
+    * the final top-10. The approximate stages only pick the candidate
+    * SET; every returned sim is exact.
+    */
+  private def ivfPqOracleSql: String = {
+    val w = EmbDim / PqSub
+    s"""WITH e AS (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |en AS (SELECT vec_id, list_transform(v, x -> x /
+       |           sqrt(list_reduce(list_transform(v, y -> y * y),
+       |                (a, b) -> a + b))) AS nv FROM e),
+       |ev AS (SELECT vec_id, unnest(range(1, ${EmbDim + 1})) AS j, unnest(nv) AS x
+       |       FROM en),
+       |cbs AS (SELECT code, j, cd, CAST(floor((j - 1) / $w) AS INT) AS sub FROM
+       |          (SELECT vec_id % $PqCodes AS code, j, sum(x) / count(*) AS cd
+       |           FROM ev GROUP BY code, j)),
+       |pd AS (SELECT ev.vec_id, cbs.sub, cbs.code,
+       |              sum((ev.x - cbs.cd) * (ev.x - cbs.cd)) AS d2
+       |       FROM ev JOIN cbs ON ev.j = cbs.j
+       |       GROUP BY ev.vec_id, cbs.sub, cbs.code),
+       |codes AS (SELECT vec_id, sub, code FROM (
+       |            SELECT vec_id, sub, code, row_number() OVER (
+       |              PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+       |            FROM pd) WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |qj AS (SELECT unnest(range(1, ${EmbDim + 1})) AS j, unnest(nv) AS qx
+       |       FROM en WHERE vec_id = 0),
+       |lut AS (SELECT cbs.sub, cbs.code, sum(qj.qx * cbs.cd) AS dotq
+       |        FROM cbs JOIN qj ON cbs.j = qj.j GROUP BY cbs.sub, cbs.code),
+       |cm AS (SELECT vec_id % 8 AS cid,
+       |              unnest(range(1, ${EmbDim + 1})) AS j, unnest(v) AS x
+       |       FROM e),
+       |cent AS (SELECT cid, list(sd ORDER BY j) AS c FROM
+       |           (SELECT cid, j, sum(x) / count(*) AS sd FROM cm GROUP BY cid, j)
+       |         GROUP BY cid),
+       |asn AS (SELECT vec_id, cid FROM (
+       |          SELECT e.vec_id, cent.cid,
+       |                 row_number() OVER (PARTITION BY e.vec_id
+       |                   ORDER BY ${cosSql("e.v", "cent.c")} DESC, cent.cid ASC) AS rn
+       |          FROM e CROSS JOIN cent) WHERE rn = 1),
+       |probe AS (SELECT cid FROM (
+       |            SELECT cent.cid,
+       |                   row_number() OVER (ORDER BY ${cosSql("cent.c", "q.qv")} DESC,
+       |                                      cent.cid ASC) AS rn
+       |            FROM cent, q) WHERE rn <= 2),
+       |approx AS (SELECT codes.vec_id, sum(lut.dotq) AS a
+       |           FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+       |           GROUP BY codes.vec_id),
+       |cand AS (SELECT approx.vec_id FROM approx
+       |         JOIN asn ON approx.vec_id = asn.vec_id
+       |         WHERE asn.cid IN (SELECT cid FROM probe) AND approx.vec_id <> 0
+       |         ORDER BY approx.a DESC, approx.vec_id ASC LIMIT $PqRefine)
+       |SELECT e.vec_id AS vec_id, round(${cosSql("e.v", "q.qv")}, 4) AS sim
+       |FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+       |ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
+
   /** K3 boosted-search oracle (shared by the declarative and block-path
     * gates — both must produce identical results).
     */
@@ -772,6 +860,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracleSql,
     "sim_lsh_neardups" -> lshOracleSql,
     "sim_ivf_topk" -> ivfOracleSql,
+    "sim_ivfpq_topk" -> ivfPqOracleSql,
     // Full replication of Extract.contentSafetyCheck (utils.rs:174-211):
     // (1) binary gate — NUL or >10% control chars in the first 8KB (char
     //     window stands in for the byte window: exact on ASCII text, and

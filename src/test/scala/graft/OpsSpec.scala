@@ -119,6 +119,86 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.contains(1L))
   }
 
+  test("ivf-pq: full-probe full-refine equals exact cosine top-k bit-for-bit") {
+    // with every bucket probed and refine >= N the approximate funnel
+    // selects everything, so the exact re-rank must reproduce
+    // cosineTopK exactly — rows, order AND double bits
+    val cents = Similarity.centroids(vecs, "vec_id", "embedding", 2)
+      .as[(Long, Seq[Double])].collect().toSeq
+      .map { case (c, v) => (c.toInt, v) }.sortBy(_._1)
+    val cbs = Similarity.pqCodebooks(vecs, "vec_id", "embedding", 2, 2)
+    val assigned = Similarity.pqEncode(
+      Similarity.ivfAssign(vecs, "vec_id", "embedding", cents), "embedding", cbs)
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val pq = Similarity.ivfPqTopK(assigned, "vec_id", "embedding", cents, cbs,
+        q, 5, nProbe = 2, refine = 100, excludeId = Some(0L))
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val exact = Similarity.cosineTopK(vecs, "vec_id", "embedding", q, 5, Some(0L))
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(pq == exact)
+  }
+
+  test("ivf-pq: codes are deterministic and the ADC funnel keeps the twin") {
+    val cents = Similarity.centroids(vecs, "vec_id", "embedding", 2)
+      .as[(Long, Seq[Double])].collect().toSeq
+      .map { case (c, v) => (c.toInt, v) }.sortBy(_._1)
+    val cbs = Similarity.pqCodebooks(vecs, "vec_id", "embedding", 2, 2)
+    assert(cbs.size == 2 && cbs.forall(_.size == 2) &&
+      cbs.forall(_.forall(_.size == 2)))
+    val assigned = Similarity.pqEncode(
+      Similarity.ivfAssign(vecs, "vec_id", "embedding", cents), "embedding", cbs)
+    val codes = assigned.select("vec_id", "codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(c => c.size == 2 && c.forall(x => x == 0 || x == 1)))
+    // identical vectors get identical codes
+    assert(codes(0L) == codes(1L))
+    // funnel keeps the twin at refine=4: on this adversarial toy fixture
+    // the twin's ADC rank is 4 of 5 — (1,0,0,0) quantizes to the cell
+    // containing (-1,0,0,0) (seed cluster {0,2,4} averages them away)
+    // while slightly-rotated vectors land in the other, higher-dot cell;
+    // hand-computed ADC: vec2=vec3=vec5=0.50 > vec1=vec4=0.33. The
+    // re-rank is exact, so once inside the funnel the twin wins with
+    // sim 1.0 exactly. (Structured-recall behavior is the next test.)
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val r = Similarity.ivfPqTopK(assigned, "vec_id", "embedding", cents, cbs,
+        q, 2, nProbe = 2, refine = 4, excludeId = Some(0L))
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.head._1 == 1L && r.head._2 == 1.0)
+  }
+
+  test("ivf-pq: clustered data — a 15% ADC funnel still returns the exact top-k") {
+    // 8 well-separated direction clusters x 25 members, deterministic
+    // jitter; PQ quantizes structure when there IS structure, so a
+    // refine covering one cluster (30 of 200 = 15% of the scan)
+    // reproduces the exact top-10. (On isotropic random data ADC recall
+    // degrades toward refine/N — no low-dim structure to quantize;
+    // that regime is the refine knob's job, see sim_ivfpq_topk.)
+    val dim = 16
+    val data = (0 until 200).map { i =>
+      val c = i % 8
+      val v = Array.fill(dim)(0.0f)
+      v(2 * c) = 1.0f
+      (0 until dim).foreach(d => v(d) += 0.02f * ((i * 31 + d) % 7))
+      (i.toLong, v.toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val cents = Similarity.centroids(df, "vec_id", "embedding", 4)
+      .as[(Long, Seq[Double])].collect().toSeq
+      .map { case (c, v) => (c.toInt, v) }.sortBy(_._1)
+    val cbs = Similarity.pqCodebooks(df, "vec_id", "embedding", 4, 8)
+    val assigned = Similarity.pqEncode(
+      Similarity.ivfAssign(df, "vec_id", "embedding", cents), "embedding", cbs)
+    val q = data(3)._2.map(_.toDouble) // a cluster-3 member as the query
+    val pq = Similarity.ivfPqTopK(assigned, "vec_id", "embedding", cents, cbs,
+        q, 10, nProbe = 4, refine = 30, excludeId = Some(3L))
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q, 10, Some(3L))
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    assert(pq == exact)
+    // and the winners really are the planted cluster (vec_id % 8 == 3)
+    assert(pq.forall(_._1 % 8 == 3))
+  }
+
   test("lsh near-dup bucketing finds identical pair") {
     val r = Similarity.embeddingNearDups(vecs, "vec_id", "embedding", 8, 0.99)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
