@@ -126,8 +126,12 @@ object ScalingBench {
   // ---------------- child mode: one pinned measured level ----------------
 
   /** Runs inside a taskset-pinned JVM: JIT-warm-up build, one measured
-    * build + query pass, a pinned CPU probe; one result line to `outFile`:
-    * `buildSec docsPerSec p50 p95 cpuSec topkDigest`.
+    * build + query pass, pinned CPU+mem probes BEFORE and AFTER the
+    * measured work (the reported probe second is the WORSE of the two —
+    * a probe taken only after the build misses transient contention
+    * DURING it: observed a 164 s 2-core build, 1.7x clean wall, whose
+    * after-probes both read clean); one result line to `outFile`:
+    * `buildSec docsPerSec p50 p95 cpuSec memSec topkDigest`.
     */
   private def runOne(cores: Int, nDocs: Long, outFile: String): Unit = {
     val input = corpusDir(nDocs)
@@ -139,6 +143,8 @@ object ScalingBench {
         IndexBuilder.extractPages(spark.read.parquet(input)
           .where(org.apache.spark.sql.functions.col("doc_id") <
             math.max(2000L, nDocs / 20))), wDir)
+      val cpuPre = cpuProbe(spark)
+      val memPre = memProbe(spark)
 
       val dir = Files.createTempDirectory(s"graft-scale-$cores").toString
       val raw = spark.read.parquet(input)
@@ -160,8 +166,8 @@ object ScalingBench {
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(lat.map(_._2).mkString("|").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      val cpuSec = cpuProbe(spark)
-      val memSec = memProbe(spark)
+      val cpuSec = math.max(cpuPre, cpuProbe(spark))
+      val memSec = math.max(memPre, memProbe(spark))
       Files.writeString(Paths.get(outFile),
         f"$buildSec%.3f ${nDocs / buildSec}%.1f ${pct(0.5)}%.1f ${pct(0.95)}%.1f $cpuSec%.3f $memSec%.3f $digest")
     } finally spark.stop()
@@ -325,7 +331,9 @@ object ScalingBench {
       f"| ${i + 1} | ${r.a.buildSec}%.1f | ${r.b.buildSec}%.1f | ${r.eff}%.3f " +
         f"| ${r.a.cpuSec}%.2f | ${r.b.cpuSec}%.2f | ${r.a.memSec}%.2f " +
         f"| ${r.b.memSec}%.2f | ${ratios(r.a)} | ${ratios(r.b)} | $cl |"
-    }.mkString("\n")
+      // rows 2+ live on their own lines inside a stripMargin template —
+      // the extra leading '|' below is the margin marker it consumes
+    }.mkString("\n|")
     val baseRow = base.toSeq.sorted
       .map { case (k, v) => f"$k=$v%.3f" }.mkString(", ")
 
@@ -352,9 +360,12 @@ object ScalingBench {
          |this host (persisted across invocations in BENCH/
          |probe_baseline.json — an invocation-relative reference would
          |certify a uniformly-degraded hour as "clean"). The probes run
-         |inside the same pinned child JVMs as the measured build and share
-         |nothing with the workload but the machine, so a slow probe is
-         |direct evidence of a degraded host window; the GATE number is the
+         |inside the same pinned child JVMs as the measured build,
+         |BRACKET it (before and after; the worse ratio gates — an
+         |after-only probe misses transient contention during the build)
+         |and share nothing with the workload but the machine, so a slow
+         |probe is direct evidence of a degraded host window; the GATE
+         |number is the
          |mean raw efficiency over the clean replications — dirty
          |replications are reported, not averaged in. Tolerances come from
          |measured repeatability: the pinned CPU probe repeats within ~6%%
