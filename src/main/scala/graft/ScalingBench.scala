@@ -279,9 +279,70 @@ object ScalingBench {
       ok(r.a) && ok(r.b)
     }
 
+  /** Probe-only child: write "cpuSec memSec" for a pinned `cores`-wide
+    * JVM — the parent's cheap window pre-poll (~25 s vs ~10 min for a
+    * full replication burned into a storm).
+    */
+  private def runProbe(cores: Int, outFile: String): Unit = {
+    val spark = session(cores)
+    try {
+      val c = cpuProbe(spark)
+      val m = memProbe(spark)
+      Files.writeString(Paths.get(outFile), f"$c%.3f $m%.3f")
+    } finally spark.stop()
+  }
+
+  private def spawnProbe(cores: Int): (Double, Double) = {
+    val outFile = Files.createTempFile("graft-scale-probe", ".txt").toString
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val cmd = Seq("taskset", "-c", s"0-${cores - 1}", java) ++ addOpens ++ Seq(
+      "-Xmx4g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.ScalingBench", "--probe", cores.toString, outFile)
+    val code = new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
+    require(code == 0, s"probe child (cores=$cores) exited $code")
+    val Array(c, m) = Files.readString(Paths.get(outFile)).trim.split(" ")
+    (c.toDouble, m.toDouble)
+  }
+
+  /** Block until the host window looks clean (one 4N-wide probe child
+    * within the gate tolerances of the persisted baseline), polling
+    * every ~45 s up to `maxPolls`. Returns true if a clean-looking
+    * window was found; false if the wait budget ran out (the caller
+    * proceeds anyway — the in-rep BRACKETED probes still gate the
+    * result, this is only the cheap filter that stops 10-minute
+    * replications from being burned into known storms).
+    */
+  private def awaitCleanWindow(cores: Int,
+      base: scala.collection.Map[String, Double], maxPolls: Int): Boolean = {
+    var polls = 0
+    while (polls < maxPolls) {
+      val (c, m) = spawnProbe(cores)
+      val cOk = c <= base(s"cpu@$cores") * CpuTolerance
+      val mOk = m <= base(s"mem@$cores") * MemTolerance
+      println(f"[scaling] pre-poll $polls: cpu@$cores=$c%.2f " +
+        f"(${c / base(s"cpu@$cores")}%.2f) mem@$cores=$m%.2f " +
+        f"(${m / base(s"mem@$cores")}%.2f) clean=${cOk && mOk}")
+      if (cOk && mOk) return true
+      polls += 1
+      Thread.sleep(45000)
+    }
+    false
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length >= 1 && args(0) == "--one") {
       runOne(args(1).toInt, args(2).toLong, args(3))
+      return
+    }
+    if (args.length >= 1 && args(0) == "--probe") {
+      runProbe(args(1).toInt, args(2))
       return
     }
     val nDocs = if (args.length > 0) args(0).toLong else 200000L
@@ -296,10 +357,12 @@ object ScalingBench {
     val targetClean = sys.env.getOrElse("SPARK_GRAFT_SCALE_CLEAN", "3").toInt
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS_MAX", "8").toInt
     val base = loadBaseline()
+    val maxPolls = sys.env.getOrElse("SPARK_GRAFT_SCALE_POLLS_MAX", "25").toInt
     val reps = scala.collection.mutable.ArrayBuffer.empty[Rep]
     while (reps.isEmpty ||
         (cleanIndices(reps.toSeq, base).size < targetClean &&
           reps.size < maxReps)) {
+      awaitCleanWindow(4 * n, base, maxPolls)
       reps += Rep(spawnPinned(n, nDocs), spawnPinned(4 * n, nDocs))
       mergeBaseline(base, Seq(reps.last))
       val ci = cleanIndices(reps.toSeq, base)
