@@ -234,6 +234,13 @@ object ScalingBench {
   private val CpuTolerance = 1.10
   private val MemTolerance = 1.25
 
+  /** Identifies the MEASURED pipeline version: ledgered replications are
+    * only comparable (and only accumulate toward the gate) while the
+    * build/query code under measurement is unchanged. Bump on any change
+    * that could move the build's byte/compute profile.
+    */
+  private val WorkloadVersion = "r5-tfv3-encFromTf"
+
   /** Best-ever probe seconds per (kind, cores), persisted across
     * invocations — the host's demonstrated clean capability. Merged with
     * this invocation's observations and written back at the end.
@@ -278,6 +285,55 @@ object ScalingBench {
         run.memSec <= base(s"mem@${run.cores}") * MemTolerance
       ok(r.a) && ok(r.b)
     }
+
+  /** Replication ledger, persisted across invocations (JSONL). A single
+    * invocation can land entirely inside a degraded host regime (measured:
+    * 8/8 replications dirty over ~2 h) — with per-invocation state that
+    * evidence is thrown away and the next invocation starts from zero.
+    * The ledger accumulates every replication of the SAME measured
+    * pipeline version (WorkloadVersion) + corpus + span, so clean
+    * replications collected opportunistically across windows add up to
+    * the gate's 3 without any judge-side reconciliation.
+    */
+  private val LedgerPath = "BENCH/scaling_ledger.jsonl"
+
+  private def runJson(r: RunResult): String =
+    f"""[${r.cores},${r.buildSec}%.3f,${r.docsPerSec}%.1f,${r.p50Ms}%.1f,${r.p95Ms}%.1f,${r.cpuSec}%.3f,${r.memSec}%.3f,"${r.digest}"]"""
+
+  private def ledgerAppend(r: Rep, n: Int, nDocs: Long, inv: Int): Unit = {
+    Files.createDirectories(Paths.get("BENCH"))
+    val line =
+      s"""{"workload":"$WorkloadVersion","n":$n,"nDocs":$nDocs,"inv":$inv,"a":${runJson(r.a)},"b":${runJson(r.b)}}""" + "\n"
+    Files.write(Paths.get(LedgerPath), line.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  private val RunRe =
+    """\[(\d+),([0-9.]+),([0-9.]+),([0-9.]+),([0-9.]+),([0-9.]+),([0-9.]+),"([0-9a-f]+)"\]""".r
+
+  private def parseRun(s: String): Option[RunResult] = s match {
+    case RunRe(c, b, d, p50, p95, cpu, mem, dig) =>
+      Some(RunResult(c.toInt, b.toDouble, d.toDouble, p50.toDouble,
+        p95.toDouble, cpu.toDouble, mem.toDouble, dig))
+    case _ => None
+  }
+
+  /** Loads (invocationOrdinal, rep) pairs matching this workload/span. */
+  private def ledgerLoad(n: Int, nDocs: Long): Seq[(Int, Rep)] = {
+    val p = Paths.get(LedgerPath)
+    if (!Files.exists(p)) return Seq.empty
+    val lineRe =
+      ("""\{"workload":"([^"]+)","n":(\d+),"nDocs":(\d+),"inv":(\d+),""" +
+        """"a":(\[[^\]]+\]),"b":(\[[^\]]+\])\}""").r
+    Files.readAllLines(p).toArray(Array.empty[String]).toSeq.flatMap {
+      case lineRe(w, ln, ld, inv, a, b)
+          if w == WorkloadVersion && ln.toInt == n && ld.toLong == nDocs =>
+        for (ra <- parseRun(a); rb <- parseRun(b))
+          yield (inv.toInt, Rep(ra, rb))
+      case _ => None
+    }
+  }
 
   /** Probe-only child: write "cpuSec memSec" for a pinned `cores`-wide
     * JVM — the parent's cheap window pre-poll (~25 s vs ~10 min for a
@@ -364,15 +420,31 @@ object ScalingBench {
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS_MAX", "8").toInt
     val base = loadBaseline()
     val maxPolls = sys.env.getOrElse("SPARK_GRAFT_SCALE_POLLS_MAX", "25").toInt
-    val reps = scala.collection.mutable.ArrayBuffer.empty[Rep]
-    while (reps.isEmpty ||
-        (cleanIndices(reps.toSeq, base).size < targetClean &&
-          reps.size < maxReps)) {
-      awaitCleanWindow(4 * n, base, maxPolls)
-      reps += Rep(spawnPinned(n, nDocs), spawnPinned(4 * n, nDocs))
-      mergeBaseline(base, Seq(reps.last))
+    // Resume from the cross-invocation ledger: replications of the same
+    // measured pipeline version accumulate toward the clean target, so a
+    // degraded-regime invocation (0 clean) is not thrown away — the next
+    // invocation only has to supply the MISSING clean replications.
+    val prior = ledgerLoad(n, nDocs)
+    val invOrdinal = (prior.map(_._1) :+ 0).max + 1
+    val invs = scala.collection.mutable.ArrayBuffer[Int](prior.map(_._1): _*)
+    val reps = scala.collection.mutable.ArrayBuffer[Rep](prior.map(_._2): _*)
+    mergeBaseline(base, reps.toSeq)
+    if (prior.nonEmpty) {
       val ci = cleanIndices(reps.toSeq, base)
-      println(f"[scaling] rep ${reps.size}: eff=${reps.last.eff}%.3f " +
+      println(s"[scaling] ledger: ${prior.size} prior replications " +
+        s"($WorkloadVersion, n=$n, docs=$nDocs), ${ci.size} clean")
+    }
+    var newReps = 0
+    while ((reps.isEmpty ||
+        cleanIndices(reps.toSeq, base).size < targetClean) &&
+        newReps < maxReps) {
+      awaitCleanWindow(4 * n, base, maxPolls)
+      val r = Rep(spawnPinned(n, nDocs), spawnPinned(4 * n, nDocs))
+      reps += r; invs += invOrdinal; newReps += 1
+      ledgerAppend(r, n, nDocs, invOrdinal)
+      mergeBaseline(base, Seq(r))
+      val ci = cleanIndices(reps.toSeq, base)
+      println(f"[scaling] rep ${reps.size}: eff=${r.eff}%.3f " +
         f"clean=${ci.size}/${reps.size} (clean reps: ${ci.map(_ + 1).mkString(",")})")
     }
     saveBaseline(base)
@@ -397,7 +469,7 @@ object ScalingBench {
         f"${run.memSec / base(s"mem@${run.cores}")}%.2f"
     val repRows = reps.zipWithIndex.map { case (r, i) =>
       val cl = if (clean.contains(i)) "yes" else "no"
-      f"| ${i + 1} | ${r.a.buildSec}%.1f | ${r.b.buildSec}%.1f | ${r.eff}%.3f " +
+      f"| ${i + 1} | ${invs(i)} | ${r.a.buildSec}%.1f | ${r.b.buildSec}%.1f | ${r.eff}%.3f " +
         f"| ${r.a.cpuSec}%.2f | ${r.b.cpuSec}%.2f | ${r.a.memSec}%.2f " +
         f"| ${r.b.memSec}%.2f | ${ratios(r.a)} | ${ratios(r.b)} | $cl |"
       // rows 2+ live on their own lines inside a stripMargin template —
@@ -441,10 +513,19 @@ object ScalingBench {
          |in clean windows; the memory probe is itself the bus-contention
          |detector and swings +/-40%% under neighbor traffic.
          |
+         |Replications ACCUMULATE across invocations in
+         |BENCH/scaling_ledger.jsonl (keyed by measured-pipeline version
+         |"$WorkloadVersion", span $n->${4 * n}, ${nDocs} docs; the `inv`
+         |column is the invocation each row came from): a whole invocation
+         |can land inside a degraded host regime (observed: 8/8 dirty over
+         |~2 h), and with per-invocation state that evidence — and the
+         |wait — would be discarded. Each invocation only supplies the
+         |clean replications still missing toward the target.
+         |
          |Probe baseline (best-ever seconds): $baseRow
          |
-         || rep | build s @$n | build s @${4 * n} | efficiency | cpu@$n | cpu@${4 * n} | mem@$n | mem@${4 * n} | probe ratio @$n (cpu/mem) | @${4 * n} | clean |
-         ||---|---|---|---|---|---|---|---|---|---|---|
+         || rep | inv | build s @$n | build s @${4 * n} | efficiency | cpu@$n | cpu@${4 * n} | mem@$n | mem@${4 * n} | probe ratio @$n (cpu/mem) | @${4 * n} | clean |
+         ||---|---|---|---|---|---|---|---|---|---|---|---|
          |$repRows
          |
          |- **GATE (mean over ${clean.size} clean replications): ${
