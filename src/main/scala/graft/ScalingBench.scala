@@ -197,8 +197,13 @@ object ScalingBench {
     val pb = new ProcessBuilder(cmd: _*).inheritIO()
     val code = pb.start().waitFor()
     require(code == 0, s"pinned child (cores=$cores) exited $code")
-    val Array(b, d, p50, p95, cpu, mem, dig) =
-      Files.readString(Paths.get(outFile)).trim.split(" ")
+    val txt = Files.readString(Paths.get(outFile)).trim
+    // a host-killed child can exit 0 with an empty result file (observed:
+    // one invocation died mid-morning on exactly this); surface a clear
+    // message the replication loop can catch instead of a MatchError
+    require(txt.split(" ").length == 7,
+      s"pinned child (cores=$cores) wrote malformed result '$txt'")
+    val Array(b, d, p50, p95, cpu, mem, dig) = txt.split(" ")
     RunResult(cores, b.toDouble, d.toDouble, p50.toDouble, p95.toDouble,
       cpu.toDouble, mem.toDouble, dig)
   }
@@ -439,15 +444,27 @@ object ScalingBench {
         cleanIndices(reps.toSeq, base).size < targetClean) &&
         newReps < maxReps) {
       awaitCleanWindow(4 * n, base, maxPolls)
-      val r = Rep(spawnPinned(n, nDocs), spawnPinned(4 * n, nDocs))
-      reps += r; invs += invOrdinal; newReps += 1
-      ledgerAppend(r, n, nDocs, invOrdinal)
-      mergeBaseline(base, Seq(r))
-      val ci = cleanIndices(reps.toSeq, base)
-      println(f"[scaling] rep ${reps.size}: eff=${r.eff}%.3f " +
-        f"clean=${ci.size}/${reps.size} (clean reps: ${ci.map(_ + 1).mkString(",")})")
+      newReps += 1
+      // a failed replication (child killed by the host) counts toward the
+      // cap — bounding unattended runtime — but not toward the table
+      try {
+        val r = Rep(spawnPinned(n, nDocs), spawnPinned(4 * n, nDocs))
+        reps += r; invs += invOrdinal
+        ledgerAppend(r, n, nDocs, invOrdinal)
+        mergeBaseline(base, Seq(r))
+        val ci = cleanIndices(reps.toSeq, base)
+        println(f"[scaling] rep ${reps.size}: eff=${r.eff}%.3f " +
+          f"clean=${ci.size}/${reps.size} (clean reps: ${ci.map(_ + 1).mkString(",")})")
+      } catch {
+        case e: Exception =>
+          println(s"[scaling] replication attempt $newReps failed: ${e.getMessage}")
+      }
     }
     saveBaseline(base)
+    if (reps.isEmpty) {
+      println("[scaling] no completed replications; nothing to report")
+      return
+    }
     val clean = cleanIndices(reps.toSeq, base)
     // With ZERO clean reps the invocation carries no gate evidence — every
     // window was degraded vs the host's demonstrated (persisted) clean
