@@ -136,9 +136,16 @@ object ScalingBench {
   private def runOne(cores: Int, nDocs: Long, outFile: String): Unit = {
     val input = corpusDir(nDocs)
     val spark = session(cores)
+    // Index dirs are per-run scratch; a child that leaves them behind
+    // leaks ~750 MB per replication level and eventually fills /tmp —
+    // observed round 5: ~100 leaked dirs = 75 GB = disk full = every
+    // subsequent child dying with ENOSPC mid-corpus-write. Track and
+    // delete on the way out, success or failure.
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       // JIT warm-up: small untimed build in this same (pinned) JVM
       val wDir = Files.createTempDirectory(s"graft-scale-warm").toString
+      scratch += wDir
       IndexBuilder.build(spark,
         IndexBuilder.extractPages(spark.read.parquet(input)
           .where(org.apache.spark.sql.functions.col("doc_id") <
@@ -147,6 +154,7 @@ object ScalingBench {
       val memPre = memProbe(spark)
 
       val dir = Files.createTempDirectory(s"graft-scale-$cores").toString
+      scratch += dir
       val raw = spark.read.parquet(input)
       val t0 = System.nanoTime()
       val idx = IndexBuilder.build(spark, IndexBuilder.extractPages(raw), dir)
@@ -170,12 +178,30 @@ object ScalingBench {
       val memSec = math.max(memPre, memProbe(spark))
       Files.writeString(Paths.get(outFile),
         f"$buildSec%.3f ${nDocs / buildSec}%.1f ${pct(0.5)}%.1f ${pct(0.95)}%.1f $cpuSec%.3f $memSec%.3f $digest")
-    } finally spark.stop()
+    } finally {
+      try spark.stop()
+      finally scratch.foreach(deleteRecursively)
+    }
   }
+
+  /** Best-effort recursive delete of per-run scratch (never throws —
+    * cleanup must not turn a successful measurement into a failed child).
+    */
+  private[graft] def deleteRecursively(path: String): Unit =
+    try {
+      val root = Paths.get(path)
+      if (Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    } catch { case _: Exception => () }
 
   // ---------------- parent mode: orchestrate pinned children -------------
 
-  private case class RunResult(cores: Int, buildSec: Double, docsPerSec: Double,
+  private[graft] case class RunResult(cores: Int, buildSec: Double, docsPerSec: Double,
       p50Ms: Double, p95Ms: Double, cpuSec: Double, memSec: Double,
       digest: String)
 
@@ -195,21 +221,23 @@ object ScalingBench {
       "-cp", System.getProperty("java.class.path"),
       "graft.ScalingBench", "--one", cores.toString, nDocs.toString, outFile)
     val pb = new ProcessBuilder(cmd: _*).inheritIO()
-    val code = pb.start().waitFor()
-    require(code == 0, s"pinned child (cores=$cores) exited $code")
-    val txt = Files.readString(Paths.get(outFile)).trim
-    // a host-killed child can exit 0 with an empty result file (observed:
-    // one invocation died mid-morning on exactly this); surface a clear
-    // message the replication loop can catch instead of a MatchError
-    require(txt.split(" ").length == 7,
-      s"pinned child (cores=$cores) wrote malformed result '$txt'")
-    val Array(b, d, p50, p95, cpu, mem, dig) = txt.split(" ")
-    RunResult(cores, b.toDouble, d.toDouble, p50.toDouble, p95.toDouble,
-      cpu.toDouble, mem.toDouble, dig)
+    try {
+      val code = pb.start().waitFor()
+      require(code == 0, s"pinned child (cores=$cores) exited $code")
+      val txt = Files.readString(Paths.get(outFile)).trim
+      // a host-killed child can exit 0 with an empty result file (observed:
+      // one invocation died mid-morning on exactly this); surface a clear
+      // message the replication loop can catch instead of a MatchError
+      require(txt.split(" ").length == 7,
+        s"pinned child (cores=$cores) wrote malformed result '$txt'")
+      val Array(b, d, p50, p95, cpu, mem, dig) = txt.split(" ")
+      RunResult(cores, b.toDouble, d.toDouble, p50.toDouble, p95.toDouble,
+        cpu.toDouble, mem.toDouble, dig)
+    } finally Files.deleteIfExists(Paths.get(outFile))
   }
 
   /** A replication = one interleaved (N-run, 4N-run) pair. */
-  private case class Rep(a: RunResult, b: RunResult) {
+  private[graft] case class Rep(a: RunResult, b: RunResult) {
     def eff: Double = b.docsPerSec / (4.0 * a.docsPerSec)
   }
 
@@ -302,14 +330,16 @@ object ScalingBench {
     */
   private val LedgerPath = "BENCH/scaling_ledger.jsonl"
 
-  private def runJson(r: RunResult): String =
+  private[graft] def runJson(r: RunResult): String =
     f"""[${r.cores},${r.buildSec}%.3f,${r.docsPerSec}%.1f,${r.p50Ms}%.1f,${r.p95Ms}%.1f,${r.cpuSec}%.3f,${r.memSec}%.3f,"${r.digest}"]"""
 
-  private def ledgerAppend(r: Rep, n: Int, nDocs: Long, inv: Int): Unit = {
-    Files.createDirectories(Paths.get("BENCH"))
+  private[graft] def ledgerAppend(r: Rep, n: Int, nDocs: Long, inv: Int,
+      path: String = LedgerPath): Unit = {
+    val parent = Paths.get(path).toAbsolutePath.getParent
+    if (parent != null) Files.createDirectories(parent)
     val line =
       s"""{"workload":"$WorkloadVersion","n":$n,"nDocs":$nDocs,"inv":$inv,"a":${runJson(r.a)},"b":${runJson(r.b)}}""" + "\n"
-    Files.write(Paths.get(LedgerPath), line.getBytes("UTF-8"),
+    Files.write(Paths.get(path), line.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
   }
@@ -317,7 +347,7 @@ object ScalingBench {
   private val RunRe =
     """\[(\d+),([0-9.]+),([0-9.]+),([0-9.]+),([0-9.]+),([0-9.]+),([0-9.]+),"([0-9a-f]+)"\]""".r
 
-  private def parseRun(s: String): Option[RunResult] = s match {
+  private[graft] def parseRun(s: String): Option[RunResult] = s match {
     case RunRe(c, b, d, p50, p95, cpu, mem, dig) =>
       Some(RunResult(c.toInt, b.toDouble, d.toDouble, p50.toDouble,
         p95.toDouble, cpu.toDouble, mem.toDouble, dig))
@@ -325,8 +355,9 @@ object ScalingBench {
   }
 
   /** Loads (invocationOrdinal, rep) pairs matching this workload/span. */
-  private def ledgerLoad(n: Int, nDocs: Long): Seq[(Int, Rep)] = {
-    val p = Paths.get(LedgerPath)
+  private[graft] def ledgerLoad(n: Int, nDocs: Long,
+      path: String = LedgerPath): Seq[(Int, Rep)] = {
+    val p = Paths.get(path)
     if (!Files.exists(p)) return Seq.empty
     val lineRe =
       ("""\{"workload":"([^"]+)","n":(\d+),"nDocs":(\d+),"inv":(\d+),""" +
@@ -366,10 +397,12 @@ object ScalingBench {
       "-Xmx4g", "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.ScalingBench", "--probe", cores.toString, outFile)
-    val code = new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
-    require(code == 0, s"probe child (cores=$cores) exited $code")
-    val Array(c, m) = Files.readString(Paths.get(outFile)).trim.split(" ")
-    (c.toDouble, m.toDouble)
+    try {
+      val code = new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
+      require(code == 0, s"probe child (cores=$cores) exited $code")
+      val Array(c, m) = Files.readString(Paths.get(outFile)).trim.split(" ")
+      (c.toDouble, m.toDouble)
+    } finally Files.deleteIfExists(Paths.get(outFile))
   }
 
   /** Block until the host window looks clean (one 4N-wide probe child

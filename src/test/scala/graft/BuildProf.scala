@@ -54,5 +54,6 @@ object BuildProf {
       PostingBlocks.writeBlocks(spark.read.parquet(s"$out/postings"), out, 64)
     }
     spark.stop()
+    ScalingBench.deleteRecursively(out)
   }
 }

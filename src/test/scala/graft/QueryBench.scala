@@ -159,5 +159,7 @@ object QueryBench {
     println(f"[loadtest:batched_lines] queries=${lq.size} rounds=$rounds " +
       f"best_wall=${lBest}%.0fms amortized=${lBest / lq.size}%.1fms/query")
     spark.stop()
+    // ~750 MB of per-run scratch; leaked copies filled /tmp in round 5
+    ScalingBench.deleteRecursively(dir)
   }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip tests for the cross-invocation scaling-replication ledger
+  * (ScalingBench.ledgerAppend / ledgerLoad): the gate evidence ACCUMULATES
+  * across bench invocations through this file, so a parse drift would
+  * silently discard prior replications (the ledger's whole point is that a
+  * degraded-window invocation's wait is not thrown away).
+  */
+class ScalingLedgerSpec extends AnyFunSuite {
+
+  private def rep(cores: Int, eff: Double): ScalingBench.Rep = {
+    // choose docsPerSec so that eff = dps(4N) / (4 * dps(N)); values are
+    // pre-rounded to the ledger's serialized precision (%.3f / %.1f) so
+    // the round-trip comparison is exact
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    val a = ScalingBench.RunResult(cores, 100.0, 2000.0, 500.0, 900.0,
+      5.123, 1.881, "aabb00112233445566778899aabbccdd")
+    val b = ScalingBench.RunResult(4 * cores, r3(100.0 / (4 * eff)),
+      2000.0 * 4 * eff, 400.0, 700.0, 1.321, 0.676,
+      "aabb00112233445566778899aabbccdd")
+    ScalingBench.Rep(a, b)
+  }
+
+  test("runJson / parseRun round-trip preserves every field") {
+    val r = ScalingBench.RunResult(8, 33.101, 6042.1, 407.5, 685.2,
+      1.321, 0.676, "b6140f0f725644d48ac22c9a58f62e35")
+    val back = ScalingBench.parseRun(ScalingBench.runJson(r))
+    assert(back.contains(r))
+  }
+
+  test("parseRun rejects malformed payloads instead of throwing") {
+    assert(ScalingBench.parseRun("").isEmpty)
+    assert(ScalingBench.parseRun("[8,1.0]").isEmpty)
+    assert(ScalingBench.parseRun("""[8,a,b,c,d,e,f,"zz"]""").isEmpty)
+  }
+
+  test("append then load returns the same replications, keyed by invocation") {
+    val path = Files.createTempFile("graft-ledger", ".jsonl").toString
+    Files.deleteIfExists(Paths.get(path))
+    val r1 = rep(2, 0.85)
+    val r2 = rep(2, 0.62)
+    ScalingBench.ledgerAppend(r1, 2, 200000L, inv = 1, path = path)
+    ScalingBench.ledgerAppend(r2, 2, 200000L, inv = 3, path = path)
+    val loaded = ScalingBench.ledgerLoad(2, 200000L, path = path)
+    assert(loaded.map(_._1) == Seq(1, 3))
+    assert(loaded.map(_._2) == Seq(r1, r2))
+    assert(math.abs(loaded.head._2.eff - 0.85) < 1e-3)
+    Files.deleteIfExists(Paths.get(path))
+  }
+
+  test("load filters by span and corpus size (other keys invisible)") {
+    val path = Files.createTempFile("graft-ledger", ".jsonl").toString
+    Files.deleteIfExists(Paths.get(path))
+    ScalingBench.ledgerAppend(rep(2, 0.8), 2, 200000L, inv = 1, path = path)
+    ScalingBench.ledgerAppend(rep(4, 0.8), 4, 200000L, inv = 1, path = path)
+    ScalingBench.ledgerAppend(rep(2, 0.8), 2, 50000L, inv = 1, path = path)
+    assert(ScalingBench.ledgerLoad(2, 200000L, path = path).size == 1)
+    assert(ScalingBench.ledgerLoad(4, 200000L, path = path).size == 1)
+    assert(ScalingBench.ledgerLoad(2, 50000L, path = path).size == 1)
+    assert(ScalingBench.ledgerLoad(8, 200000L, path = path).isEmpty)
+    Files.deleteIfExists(Paths.get(path))
+  }
+
+  test("a corrupt line is skipped, not fatal (host-killed writer mid-line)") {
+    val path = Files.createTempFile("graft-ledger", ".jsonl").toString
+    Files.deleteIfExists(Paths.get(path))
+    ScalingBench.ledgerAppend(rep(2, 0.8), 2, 200000L, inv = 1, path = path)
+    Files.write(Paths.get(path),
+      "{\"workload\":\"r5-tfv3-encFromTf\",\"n\":2,\"nDocs\":200000,\"inv\":2,\"a\":[2,1.0,tru".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val loaded = ScalingBench.ledgerLoad(2, 200000L, path = path)
+    assert(loaded.size == 1 && loaded.head._1 == 1)
+    Files.deleteIfExists(Paths.get(path))
+  }
+
+  test("deleteRecursively removes nested scratch and tolerates absence") {
+    val root = Files.createTempDirectory("graft-delrec")
+    Files.createDirectories(root.resolve("a/b"))
+    Files.writeString(root.resolve("a/b/f.txt"), "x")
+    Files.writeString(root.resolve("g.txt"), "y")
+    ScalingBench.deleteRecursively(root.toString)
+    assert(!Files.exists(root))
+    ScalingBench.deleteRecursively(root.toString) // second call: no-op
+  }
+}

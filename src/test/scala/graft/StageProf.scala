@@ -59,5 +59,6 @@ object StageProf {
       }
     }
     spark.stop()
+    ScalingBench.deleteRecursively(out)
   }
 }

@@ -61,5 +61,6 @@ object TfProf {
     val cb = spark.read.parquet(s"$out/tfB").count()
     println(s"[tfprof] rowsA=$ca rowsB=$cb equal=${ca == cb}")
     spark.stop()
+    ScalingBench.deleteRecursively(out)
   }
 }
