@@ -84,6 +84,15 @@ object SparkEntry {
       out
     })
 
+  /** Code-definition symbols artifact (extractCode over the code view). */
+  private val codeSymbolsCache = TrieMap.empty[String, String]
+  private def codeSymbolsFor(s: SparkSession, dir: String): String =
+    codeSymbolsCache.getOrElseUpdate(dir, {
+      val out = Files.createTempDirectory("graft-gate-csym").toString
+      Symbols.buildFrom(Symbols.extractCode(codeView(s, dir)), out)
+      out
+    })
+
   private def topkDf(s: SparkSession, dir: String, q: String, k: Int,
       conjunctive: Boolean, blocks: Boolean): DataFrame = {
     val hits =
@@ -120,6 +129,29 @@ object SparkEntry {
           lit(" hub</a><a href=\"https://corpus.example/doc-"),
           sec, lit("\">section "), sec,
           lit("</a></body></html>")).as("html"))
+  }
+
+  /** Deterministic source-code VIEW of the documents table (round 5):
+    * the driver corpus is prose, so the code-grammar extractor gates over
+    * a deterministically derived code wrapper — same construction on both
+    * sides of the oracle ([[CodeViewBody]]), so what the gate verifies is
+    * the DEFINITION-GRAMMAR extraction. Each doc becomes a 6-line source
+    * file exercising every kind (function / class / variable), a
+    * modifier-prefixed definition, and two non-definition lines that must
+    * NOT extract. Out-of-range word indexes null the whole text in BOTH
+    * engines (concat/|| null-propagate), so short docs drop identically.
+    */
+  private def codeView(s: SparkSession, dir: String): DataFrame = {
+    def w(n: Int) = element_at(split(col("text"), " "), n)
+    documents(s, dir).select(
+      col("doc_id"),
+      concat(
+        lit("def "), w(1), lit("_"), w(2), lit("():\n"),
+        lit("    return "), w(3), lit("\n"),
+        lit("class "), w(4), lit("_type:\n"),
+        lit("let "), w(5), lit(" = 1\n"),
+        lit("pub fn "), w(6), lit("_go():\n"),
+        lit("x = "), w(7)).as("text"))
   }
 
   /** Edges EXTRACTED from page content (round 4; previously synthetic):
@@ -472,6 +504,21 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 4).as("score"),
           col("n_matches"), col("first_line"))),
 
+    // --- code-definition symbols (round 5): anchored definition-grammar
+    //     extraction over source-code content, every kind exercised ---
+    "sym_code_extract" -> ((s, dir) =>
+      Symbols.extractCode(codeView(s, dir))),
+
+    "sym_code_search" -> ((s, dir) =>
+      Symbols.search(Symbols.extractCode(codeView(s, dir)), "table", 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("n_matches"), col("first_line"))),
+
+    "sym_code_search_indexed" -> ((s, dir) =>
+      Symbols.searchIndexed(s, codeSymbolsFor(s, dir), "table", 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("n_matches"), col("first_line"))),
+
     // --- U2: set difference (staleness-triage shape) ---
     "u2_except" -> ((s, dir) =>
       documents(s, dir).where(col("lang") === "en").select("doc_id")
@@ -569,6 +616,55 @@ object SparkEntry {
        |sy AS (SELECT doc_id, lower(trim(raw)) AS name, kind,
        |              CAST(ord AS INT) AS line
        |       FROM swu WHERE length(lower(trim(raw))) > 2)""".stripMargin
+
+  /** DuckDB twin of [[codeView]] (no leading WITH — splices into larger
+    * CTE chains): both sides derive the SAME 6-line source file per doc,
+    * so the gates verify the definition-grammar extraction over it.
+    */
+  private val CodeViewBody =
+    """cv AS (SELECT doc_id,
+      |  'def ' || string_split(text, ' ')[1] || '_' || string_split(text, ' ')[2] || '():' || chr(10) ||
+      |  '    return ' || string_split(text, ' ')[3] || chr(10) ||
+      |  'class ' || string_split(text, ' ')[4] || '_type:' || chr(10) ||
+      |  'let ' || string_split(text, ' ')[5] || ' = 1' || chr(10) ||
+      |  'pub fn ' || string_split(text, ' ')[6] || '_go():' || chr(10) ||
+      |  'x = ' || string_split(text, ' ')[7] AS code
+      |  FROM documents)""".stripMargin
+
+  private def symCodePart(kind: String, kws: String): String =
+    s"""SELECT doc_id,
+       |  lower(regexp_extract(line,
+       |    '^\\s*(?:(?:pub|public|private|protected|static|async|export|final|abstract|override)\\s+)*(?:$kws)\\s+([A-Za-z_][A-Za-z0-9_]*)',
+       |    1)) AS name,
+       |  '$kind' AS kind, CAST(ln AS INT) AS line FROM cl""".stripMargin
+
+  /** Twin of Symbols.extractCode over the code view — same anchored
+    * modifier + keyword + identifier patterns (RE2 in DuckDB,
+    * java.util.regex in Spark, both inside the shared subset).
+    */
+  private val SymCodeBody =
+    s"""cl AS (SELECT doc_id,
+       |         unnest(string_split(code, chr(10))) AS line,
+       |         unnest(range(1, len(string_split(code, chr(10))) + 1)) AS ln
+       |       FROM cv),
+       |scall AS (${symCodePart("function", "function|func|fn|def")}
+       |  UNION ALL ${symCodePart("class", "interface|object|struct|trait|class|enum")}
+       |  UNION ALL ${symCodePart("variable", "const|val|var|let")}),
+       |sy AS (SELECT * FROM scall WHERE length(name) > 2)""".stripMargin
+
+  /** Twin of the code symbols-search semantics (scan and indexed gates
+    * must produce identical results).
+    */
+  private val SymCodeSearchSql =
+    s"""WITH $CodeViewBody,
+       |$SymCodeBody,
+       |mt AS (SELECT doc_id, line,
+       |         CASE WHEN name = 'table' THEN 2.0 ELSE 1.0 END AS wt
+       |       FROM sy WHERE contains(name, 'table'))
+       |SELECT doc_id, round(CAST(sum(wt) AS DOUBLE), 4) AS score,
+       |       count(*) AS n_matches, min(line) AS first_line
+       |FROM mt GROUP BY doc_id
+       |ORDER BY sum(wt) DESC, doc_id ASC LIMIT 10""".stripMargin
 
   /** Twin of the web symbols-search semantics (scan and indexed gates
     * must produce identical results).
@@ -1147,6 +1243,15 @@ object SparkEntry {
     "sym_web_search" -> SymWebSearchSql,
 
     "sym_web_search_indexed" -> SymWebSearchSql,
+
+    "sym_code_extract" ->
+      s"""WITH $CodeViewBody,
+         |$SymCodeBody
+         |SELECT doc_id, name, kind, line FROM sy""".stripMargin,
+
+    "sym_code_search" -> SymCodeSearchSql,
+
+    "sym_code_search_indexed" -> SymCodeSearchSql,
 
     "p3_regex_accel" ->
       """SELECT doc_id FROM documents

@@ -76,6 +76,46 @@ object Symbols {
       .reduce(_ unionByName _)
   }
 
+  /** Optional modifier keywords a definition line may carry before the
+    * defining keyword — the cross-language union (Rust pub, Java
+    * public/static/final/abstract, TS export/async, Scala override).
+    */
+  private val CodeModifiers =
+    "(?:(?:pub|public|private|protected|static|async|export|final|abstract|override)\\s+)*"
+
+  /** Code-definition symbol extraction (round 5) — the grammar-based
+    * upgrade of the line-based [[extract]] stand-in for corpora that carry
+    * source code: definition lines (`def`/`fn`/`func`/`function`,
+    * `class`/`struct`/`trait`/`object`/`interface`/`enum`,
+    * `val`/`var`/`let`/`const`, with optional modifier keywords) yield
+    * `(name, kind, line)` rows, the reference's tree-sitter node kinds
+    * (function / class / variable, /root/reference/src/symbols/
+    * extractor.rs:8-30) re-expressed as anchored line grammar. Pure
+    * Catalyst `regexp_extract` over exploded lines — codegen'd, no UDF;
+    * patterns stay inside the RE2 ∩ java.util.regex subset so the DuckDB
+    * oracle replays them verbatim. `line` is the true 1-based line
+    * number; names lowercase like every extractor here (search semantics
+    * are case-insensitive, engine.rs:1795-1800).
+    */
+  def extractCode(pages: DataFrame): DataFrame = {
+    def part(kind: String, keywords: String): DataFrame =
+      pages
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("ln0", "ltxt")))
+        .select(col("doc_id"),
+          lower(regexp_extract(col("ltxt"),
+            s"^\\s*$CodeModifiers(?:$keywords)\\s+([A-Za-z_][A-Za-z0-9_]*)",
+            1)).as("name"),
+          lit(kind).as("kind"),
+          (col("ln0") + 1).cast("int").as("line"))
+        .where(length(col("name")) > 2)
+    // longest alternative first so e.g. `function` is never consumed as
+    // `func` + non-space (both engines handle it, but explicit is clearer)
+    part("function", "function|func|fn|def")
+      .unionByName(part("class", "interface|object|struct|trait|class|enum"))
+      .unionByName(part("variable", "const|val|var|let"))
+  }
+
   /** Symbols-only top-k: docs scored by their matching symbols
     * (containment, exact-name weight x2), with the first matching line
     * exposed (the reference returns the symbol's line per match).

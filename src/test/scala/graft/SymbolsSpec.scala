@@ -112,6 +112,45 @@ class SymbolsSpec extends AnyFunSuite {
       s"expected pushed In(name) filter in:\n$plan")
   }
 
+  test("extractCode: definition grammar — kinds, modifiers, anchoring, " +
+      "non-definition lines skipped") {
+    val code = Seq((11L, Seq(
+      "def process_batch(x):",            // function, plain
+      "    return table_rows",            // indented non-def: no symbol
+      "pub fn hash_join(a, b) {",         // function behind a modifier
+      "public static async function doIt() {", // stacked modifiers
+      "class TableScan:",                 // class, case lowered
+      "  struct RowBlock {",              // indented definition still matches
+      "let cursor = 0",                   // variable
+      "const DB = 1",                     // name len <= 2 -> dropped
+      "x = classify(y)",                  // 'classify' is not kw 'class '+name
+      "redefine everything",              // 'redefine' does not anchor as 'def'
+      "fndef broken").mkString("\n")))    // neither 'fn' nor 'def' anchored
+      .toDF("doc_id", "text")
+    val got = Symbols.extractCode(code)
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(got == Set(
+      (11L, "process_batch", "function", 1),
+      (11L, "hash_join", "function", 3),
+      (11L, "doit", "function", 4),
+      (11L, "tablescan", "class", 5),
+      (11L, "rowblock", "class", 6),
+      (11L, "cursor", "variable", 7)))
+    // search over the code extraction: containment + exact-name doubling
+    val hits = Symbols.search(Symbols.extractCode(code), "hash_join", 10)
+      .collect()
+    assert(hits.length == 1 && hits.head.getLong(0) == 11L)
+    assert(hits.head.getDouble(1) == 2.0) // exact name weight
+    // indexed path identical to scan path over the code extraction
+    val dir = Files.createTempDirectory("graft-sym-code").toString
+    Symbols.buildFrom(Symbols.extractCode(code), dir)
+    val scan = Symbols.search(Symbols.extractCode(code), "table", 10)
+      .collect().toSeq
+    val indexed = Symbols.searchIndexed(spark, dir, "table", 10)
+      .collect().toSeq
+    assert(scan == indexed)
+  }
+
   test("the BM25 machinery runs over the name field (symbols-as-index)") {
     val dir = Files.createTempDirectory("graft-sym-idx").toString
     // one 'document' per doc_id whose text is its symbol names — the same
