@@ -91,6 +91,14 @@ object Bench {
     } + "\""
 
   def main(args: Array[String]): Unit = {
+    // hygiene gate (round 6): never time against a live pinned
+    // ScalingBench — wait for it to drain; if it won't, warn loudly and
+    // stamp the artifact contended so the number can't be read as clean
+    val clear = BenchGuard.awaitClear(waitMs = 180000L)
+    if (!clear)
+      System.err.println("[bench-guard] WARNING: proceeding with a live " +
+        "ScalingBench — this bench run is CONTENDED and its timings are " +
+        "not comparable to clean-window rounds")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -134,7 +142,7 @@ object Bench {
     // "failed" rides in the headline so a cross-round total comparison
     // cannot mistake a dropped (broken) query for a speedup
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":${errors.size},"queries":$qs,"classes":$cs,"errors":$es,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":${errors.size},"contended":${!clear},"queries":$qs,"classes":$cs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -205,6 +205,30 @@ object ScalingBench {
       p50Ms: Double, p95Ms: Double, cpuSec: Double, memSec: Double,
       digest: String)
 
+  /** Live pinned/probe children of THIS parent. A JVM shutdown hook kills
+    * any that are still alive (round 6: a dying or interrupted parent
+    * must not orphan a taskset-pinned child — the round-5 orphan ran 36
+    * minutes into the driver's bench window). taskset exec()s java, so
+    * destroying the Process kills the child JVM itself.
+    */
+  private val liveChildren =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Process]()
+  private lazy val reaperInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => reapChildren(),
+      "graft-scalingbench-reaper"))
+    true
+  }
+  private[graft] def reapChildren(): Unit = {
+    liveChildren.forEach(p => if (p.isAlive) { p.destroyForcibly(); () })
+    liveChildren.clear()
+  }
+  private def runChild(pb: ProcessBuilder): Int = {
+    require(reaperInstalled)
+    val p = pb.start()
+    liveChildren.add(p)
+    try p.waitFor() finally liveChildren.remove(p)
+  }
+
   private def spawnPinned(cores: Int, nDocs: Long): RunResult = {
     val outFile = Files.createTempFile("graft-scale-res", ".txt").toString
     val java = s"${System.getProperty("java.home")}/bin/java"
@@ -222,7 +246,7 @@ object ScalingBench {
       "graft.ScalingBench", "--one", cores.toString, nDocs.toString, outFile)
     val pb = new ProcessBuilder(cmd: _*).inheritIO()
     try {
-      val code = pb.start().waitFor()
+      val code = runChild(pb)
       require(code == 0, s"pinned child (cores=$cores) exited $code")
       val txt = Files.readString(Paths.get(outFile)).trim
       // a host-killed child can exit 0 with an empty result file (observed:
@@ -398,7 +422,7 @@ object ScalingBench {
       "-cp", System.getProperty("java.class.path"),
       "graft.ScalingBench", "--probe", cores.toString, outFile)
     try {
-      val code = new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
+      val code = runChild(new ProcessBuilder(cmd: _*).inheritIO())
       require(code == 0, s"probe child (cores=$cores) exited $code")
       val Array(c, m) = Files.readString(Paths.get(outFile)).trim.split(" ")
       (c.toDouble, m.toDouble)
@@ -445,6 +469,13 @@ object ScalingBench {
       runProbe(args(1).toInt, args(2))
       return
     }
+    // parent mode refuses to overlap another invocation (round 6,
+    // VERDICT r5: two overlapping pinned invocations fought for cores
+    // 0-7 and dirtied each other's reps) — fail loudly, don't queue
+    val foreign = BenchGuard.liveScalingBench()
+    require(foreign.isEmpty,
+      s"another ScalingBench is live (pid(s) ${foreign.mkString(",")}) — " +
+        "refusing to start a second pinned invocation; wait for it or kill it")
     val nDocs = if (args.length > 0) args(0).toLong else 200000L
     val n = if (args.length > 1) args(1).toInt else 2
     corpusDir(nDocs) // materialize once, untimed

@@ -478,6 +478,14 @@ object CheckpointedBuild {
         onUnitCommitted("blocks", 0)
       }
     }
+    // blocks_enc intermediates are never read again once the blocks stage
+    // committed (resume skips the whole stage) — GC them, or a
+    // checkpointed index permanently carries ~2x its serving footprint.
+    // Unconditional: also reclaims indexes whose blocks committed in a
+    // previous run that predates this GC.
+    if (isCommitted(s"$outDir/blocks") &&
+        Files.exists(Paths.get(s"$outDir/blocks_enc")))
+      rmrf(spark, s"$outDir/blocks_enc")
 
     // ---- stage 6: stats — term/posting counts come from the manifest
     // rows recorded at their stages' writes (a recount would re-read both

@@ -11,8 +11,10 @@ package graft.index
   */
 final class LongDoubleMap(expected: Int) extends Serializable {
   private val cap: Int = {
+    // strictly MORE than 2x expected, so `expected` non-zero keys always
+    // fit under the strict n < cap/2 load bound enforced in put()
     var c = 16
-    while (c < expected * 2) c <<= 1
+    while (c < expected * 2 + 2) c <<= 1
     c
   }
   private val mask = cap - 1
@@ -32,10 +34,16 @@ final class LongDoubleMap(expected: Int) extends Serializable {
 
   def put(k: Long, v: Double): Unit = {
     if (k == 0L) { zeroVal = v; hasZero = true; return }
-    require(n < cap / 2 + 1, "LongDoubleMap over capacity")
     var i = slot(k)
     while (used(i) && keys(i) != k) i = (i + 1) & mask
-    if (!used(i)) { used(i) = true; keys(i) = k; n += 1 }
+    if (!used(i)) {
+      // capacity is enforced only for a NEW key, after the probe settled
+      // on an unused slot: updates of existing keys always succeed, and
+      // the 0.5 load factor is a strict bound (n stays < cap/2, so the
+      // probe loop always terminates on an unused slot)
+      require(n < cap / 2, "LongDoubleMap over capacity")
+      used(i) = true; keys(i) = k; n += 1
+    }
     vals(i) = v
   }
 

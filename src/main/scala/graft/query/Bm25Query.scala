@@ -207,10 +207,16 @@ object Bm25Query {
   /** Relevance x static-rank boosted search (declarative path) — the
     * reference's dependency boost applied at scoring time
     * (engine.rs:2003-2007): final = bm25 * static_rank, docs absent from
-    * `rank(doc_id, static_rank)` default to 1.0.
+    * `rank(doc_id, static_rank)` default to 1.0. Optional url globs
+    * restrict the candidate set BEFORE the top-k (same semantics as the
+    * filtered paths) — this is the exact composed filtered+boosted
+    * fallback for rank/filter sets too large to broadcast: no collect of
+    * either side, both the boost join and the glob semi-join stay
+    * distributed.
     */
   def searchBoosted(index: BuiltIndex, query: String, k: Int,
-      rank: DataFrame, conjunctive: Boolean = true): Dataset[Hit] =
+      rank: DataFrame, conjunctive: Boolean = true,
+      include: Seq[String] = Nil, exclude: Seq[String] = Nil): Dataset[Hit] =
     scoredNaive(index, query, conjunctive) match {
       case None => emptyHits(index.spark)
       case Some(scored) =>
@@ -219,7 +225,7 @@ object Bm25Query {
           .na.fill(1.0, Seq("static_rank"))
           .select(col("doc_id"),
             (col("score") * col("static_rank")).as("score"))
-        finish(index, boosted, clampK(k))
+        finish(index, restrict(index, boosted, include, exclude), clampK(k))
     }
 
   /** K3 on the PRODUCTION path (round 4): boosted search through the
@@ -867,7 +873,8 @@ object Bm25Query {
     */
   def searchBlocksBatchEx(index: BuiltIndex, queries: Seq[BatchQuery],
       k: Int, rank: Option[DataFrame] = None,
-      maxCollectRows: Long = MaxBatchCollectRows): Seq[Vector[Hit]] = {
+      maxCollectRows: Long = MaxBatchCollectRows,
+      maxBroadcastDocs: Long = MaxBroadcastFilterDocs): Seq[Vector[Hit]] = {
     val spark = index.spark
     import spark.implicits._
     val kk = clampK(k)
@@ -879,10 +886,10 @@ object Bm25Query {
     val boostArrays: Option[(Array[Long], Array[Double], Double)] =
       if (!queries.exists(_.boosted)) None
       else rank.flatMap { r =>
-        val lim = math.min(MaxBroadcastFilterDocs + 1, Int.MaxValue.toLong - 1).toInt
+        val lim = math.min(maxBroadcastDocs + 1, Int.MaxValue.toLong - 1).toInt
         val rows = r.select(col("doc_id").cast("long"),
           col("static_rank").cast("double")).limit(lim).as[(Long, Double)].collect()
-        if (rows.length > MaxBroadcastFilterDocs) None
+        if (rows.length > maxBroadcastDocs) None
         else {
           val sorted = rows.sortBy(_._1)
           val ids = sorted.map(_._1)
@@ -906,7 +913,7 @@ object Bm25Query {
       globPairs.map { case (inc, exc) =>
         val allowedDf = index.docs
           .where(PathFilter.predicate(col("url"), inc, exc)).select("doc_id")
-        (inc, exc) -> resolveDocFilter(index, allowedDf, MaxBroadcastFilterDocs)
+        (inc, exc) -> resolveDocFilter(index, allowedDf, maxBroadcastDocs)
       }.toMap
 
     val results = scala.collection.mutable.Map.empty[Int, Vector[Hit]]
@@ -920,13 +927,26 @@ object Bm25Query {
           .collect().toVector
         None
       } else if (hasGlobs && filt.isEmpty) {
-        results(qi) = searchBlocksFiltered(index, q.query, kk, q.conjunctive,
-          index.docs.where(PathFilter.predicate(col("url"), q.include, q.exclude))
-            .select("doc_id")).collect().toVector
+        // filter too large for either broadcast side. A boosted query
+        // must NOT drop its boost here: compose filter+boost on the
+        // declarative path (exact, both joins distributed); un-boosted
+        // queries keep the dense-shard block path.
+        results(qi) =
+          (if (q.boosted) searchBoosted(index, q.query, kk, rank.get,
+            q.conjunctive, q.include, q.exclude)
+          else searchBlocksFiltered(index, q.query, kk, q.conjunctive,
+            index.docs.where(PathFilter.predicate(col("url"), q.include, q.exclude))
+              .select("doc_id"))).collect().toVector
         None
       } else if (q.boosted && rank.nonEmpty && boostArrays.isEmpty) {
-        results(qi) = searchBlocksBoosted(index, q.query, kk, rank.get,
-          q.conjunctive).collect().toVector
+        // rank set too large to broadcast. A glob-bearing query must NOT
+        // drop its filter here (searchBlocksBoosted has no glob args):
+        // compose filter+boost declaratively instead.
+        results(qi) =
+          (if (hasGlobs) searchBoosted(index, q.query, kk, rank.get,
+            q.conjunctive, q.include, q.exclude)
+          else searchBlocksBoosted(index, q.query, kk, rank.get,
+            q.conjunctive)).collect().toVector
         None
       } else {
         val a = analyze(index, q.query)
@@ -1064,14 +1084,24 @@ object Bm25Query {
   }
 
   /** Batched line-level serving: [[searchBlocksBatchEx]] for the hit
-    * sets, then ONE distributed job materializes every query's line
-    * records (a union of per-query pruned content scans — each leg reads
-    * only its k hit docs, In(doc_id) pushed below the posexplode like the
-    * single path). Per-query records equal [[searchWithLines]] exactly.
+    * sets, then a union of per-query pruned content scans materializes
+    * the line records (each leg reads only its k hit docs, In(doc_id)
+    * pushed below the posexplode like the single path). Per-query
+    * records equal [[searchWithLines]] exactly.
+    *
+    * Memory/plan model (round 6): one leg yields at most
+    * k x [[MaxMatchesPerDoc]] rows, so a chunk of L legs bounds its
+    * driver collect at L x k x MaxMatchesPerDoc rows — legs are CHUNKED
+    * so that bound stays under `maxCollectRows` (mirror of
+    * [[MaxBatchCollectRows]]; at k=1000 that is 40 legs/job). Chunking
+    * also caps the union plan's width: analysis/codegen time stays O(40)
+    * per job instead of growing with the whole batch. Queries are
+    * independent, so per-query results are unaffected.
     */
   def searchWithLinesBatch(index: BuiltIndex, pagesText: DataFrame,
       queries: Seq[BatchQuery], k: Int,
-      rank: Option[DataFrame] = None): Seq[Vector[LineHit]] = {
+      rank: Option[DataFrame] = None,
+      maxCollectRows: Long = MaxBatchCollectRows): Seq[Vector[LineHit]] = {
     val spark = index.spark
     import spark.implicits._
     val kk = clampK(k)
@@ -1088,8 +1118,10 @@ object Bm25Query {
       } else Some(lineRecords(index, pagesText, top, terms)
         .withColumn("qi", lit(qi)))
     }
-    if (legs.nonEmpty) {
-      val rows = legs.reduce(_ unionByName _)
+    val legsPerChunk = math.max(1L,
+      maxCollectRows / math.max(1L, kk.toLong * MaxMatchesPerDoc)).toInt
+    legs.grouped(legsPerChunk).foreach { chunk =>
+      val rows = chunk.reduce(_ unionByName _)
         .select(col("qi"), col("doc_id"), col("url"), col("score"),
           col("rank"), col("line_number"), col("match_start"),
           col("match_end"), col("snippet"))
@@ -1100,9 +1132,9 @@ object Bm25Query {
           LineHit(r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9))
           .sortBy(h => (h.rank, h.line_number)).toVector
       }
-      queries.indices.foreach(qi =>
-        if (!out.contains(qi)) out(qi) = Vector.empty)
     }
+    queries.indices.foreach(qi =>
+      if (!out.contains(qi)) out(qi) = Vector.empty)
     queries.indices.map(qi => out(qi)).toVector
   }
 

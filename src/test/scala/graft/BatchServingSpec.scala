@@ -101,6 +101,45 @@ class BatchServingSpec extends AnyFunSuite {
     assert(one.exists(_.nonEmpty))
   }
 
+  test("oversized-broadcast fallbacks keep BOTH filter and boost (round 6)") {
+    val q = s"${PagesCorpus.vocab(2)} ${PagesCorpus.vocab(7)}"
+    val inc = Seq("https://site-01*.example/**")
+    val queries = Seq(
+      BatchQuery(q, include = inc, boosted = true),   // filtered+boosted
+      BatchQuery(q, include = inc),                   // filtered only
+      BatchQuery(q, boosted = true))                  // boosted only
+    val want = Bm25Query.searchBlocksBatchEx(idx, queries, 10, Some(rankDf))
+    // maxBroadcastDocs=0 forces EVERY filter/rank set past the broadcast
+    // ceiling -> all three queries settle through the fallback branches
+    val fb = Bm25Query.searchBlocksBatchEx(idx, queries, 10, Some(rankDf),
+      maxBroadcastDocs = 0L)
+    queries.indices.foreach(i =>
+      assert(hitsOf(fb(i)) == hitsOf(want(i)), s"query $i"))
+    assert(fb(0).nonEmpty && fb(1).nonEmpty && fb(2).nonEmpty)
+    // the filter actually bites under fallback (regression for the
+    // silently-dropped-glob bug) and so does the boost
+    assert(hitsOf(fb(0)) != hitsOf(fb(2)), "filter dropped in fallback")
+    assert(hitsOf(fb(0)) != hitsOf(fb(1)), "boost dropped in fallback")
+  }
+
+  test("lines batch chunking (tiny collect bound) == unchunked") {
+    val w = (i: Int) => PagesCorpus.vocab(i)
+    val queries = (0 until 5).map(i =>
+      BatchQuery(s"${w(2 + i)} ${w(11 + i)}", conjunctive = i % 2 == 0))
+    val one = Bm25Query.searchWithLinesBatch(idx, pages, queries, 5)
+    // maxCollectRows=1 -> one leg per job
+    val chunked = Bm25Query.searchWithLinesBatch(idx, pages, queries, 5,
+      maxCollectRows = 1L)
+    assert(one.size == chunked.size)
+    one.indices.foreach { i =>
+      assert(chunked(i).map(h => (h.doc_id, h.rank, h.line_number,
+        h.match_start, h.match_end, h.snippet, h.score)) ==
+        one(i).map(h => (h.doc_id, h.rank, h.line_number,
+          h.match_start, h.match_end, h.snippet, h.score)), s"query $i")
+    }
+    assert(one.exists(_.nonEmpty))
+  }
+
   test("batched lines == searchWithLines per query") {
     val w = (i: Int) => PagesCorpus.vocab(i)
     val queries = Seq(
