@@ -35,7 +35,9 @@ case class Page(
   *     reference transcoder (UTF-8 / UTF-8 BOM / UTF-16LE / UTF-16BE /
   *     BOM-less ISO-8859-1 with printable-range high bytes / BOM-less
   *     windows-1252 with C1 bytes / DECLARED Shift_JIS and KOI8-R via
-  *     in-content meta tags — the round-5 declaration-wins branch);
+  *     in-content meta tags — the round-5 declaration-wins branch — and
+  *     UNLABELED KOI8-R / Shift_JIS / windows-1251 rows for the round-6
+  *     deterministic classifier);
   *   - a few safety-gate rows (bracket nesting > 500) that
   *     `content_safety_check` must drop.
   */
@@ -165,6 +167,11 @@ object PagesCorpus {
     // extracted text too (the transcoder decodes the whole buffer)
     if (row % 20 == 4) { sb.insert(0, SjisMeta); sb.append(SjisTail) }
     if (row % 20 == 5) { sb.insert(0, Koi8Meta); sb.append(Koi8Tail) }
+    // UNLABELED non-Latin cases (round 6, Extract v5): no declaration —
+    // only the deterministic classifier reaches the right decode
+    if (row % 20 == 8) sb.append(Koi8Tail)
+    if (row % 20 == 9) sb.append(SjisTail)
+    if (row % 20 == 10) sb.append(Win1251Tail)
     sb.toString
   }
 
@@ -188,10 +195,22 @@ object PagesCorpus {
     * Cyrillic bytes live entirely in 0xA0-0xFF, so the ISO-8859-1 byte
     * heuristic would happily decode them as Latin-1 mojibake; the
     * declaration must WIN (browser behavior), yielding real Cyrillic.
+    * Round 6: a COMMENTED-OUT Shift_JIS meta precedes the live one \u2014
+    * the v5 prescan must skip the comment span or the page mojibakes
+    * (the in-corpus proof for the comment-skip rule).
     */
   val Koi8Meta =
-    "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=koi8-r\"> "
+    "<!--<meta charset=shift_jis>-->" +
+      "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=koi8-r\"> "
   val Koi8Tail = " \u043f\u0440\u0438\u0432\u0435\u0442 \u043f\u043e\u0438\u0441\u043a"
+
+  /** Unlabeled windows-1251 case (row%20==10): lowercase Cyrillic \u2014 in
+    * 1251 these bytes land in 0xE0-0xFF (the Latin-1 lowercase band), so
+    * ONLY the case-band frequency rule separates them from a Latin page;
+    * distinct words from the KOI8 tail so each classification is proven
+    * independently.
+    */
+  val Win1251Tail = " \u043d\u043e\u0432\u043e\u0441\u0442\u0438 \u043f\u043e\u0433\u043e\u0434\u0430"
 
   /** Ground-truth EXTRACTED text (what the transcoder must reproduce
     * byte-identically per url). A BOM'd UTF-8 buffer is itself valid
@@ -225,6 +244,12 @@ object PagesCorpus {
         t.getBytes(java.nio.charset.Charset.forName("KOI8-R"))
       case 7 => // BOM-less windows-1252 (C1 bytes -> cp1252 branch)
         t.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+      case 8 => // UNLABELED KOI8-R (v5 classifier: lowercase band 0xC0-0xDF)
+        t.getBytes(java.nio.charset.Charset.forName("KOI8-R"))
+      case 9 => // UNLABELED Shift_JIS (v5 classifier: lead/trail structure)
+        t.getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+      case 10 => // UNLABELED windows-1251 (v5 classifier: band 0xE0-0xFF)
+        t.getBytes(java.nio.charset.Charset.forName("windows-1251"))
       case _ => t.getBytes(StandardCharsets.UTF_8)
     }
   }

@@ -52,6 +52,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(all.sorted == manifest.sorted)
   }
 
+  test("round-6 charset rows: unlabeled decode + comment-skip (explicit)") {
+    // unlabeled KOI8-R / Shift_JIS / windows-1251 rows decode to real
+    // script via the v5 classifier — no declaration anywhere in the page
+    def decoded(row: Long): String =
+      Extract.transcodeToUtf8(PagesCorpus.html(PagesCorpus.Seed, row)).get
+    assert(decoded(8).endsWith(PagesCorpus.Koi8Tail))
+    assert(decoded(9).endsWith(PagesCorpus.SjisTail))
+    assert(decoded(10).endsWith(PagesCorpus.Win1251Tail))
+    assert(!PagesCorpus.text(PagesCorpus.Seed, 8).contains("meta"))
+    // the declared-KOI8 disagree row now carries a commented-out SJIS
+    // meta BEFORE the live declaration: the prescan must skip it
+    val t5 = decoded(5)
+    assert(t5.startsWith("<!--<meta charset=shift_jis>-->"))
+    assert(t5.endsWith(PagesCorpus.Koi8Tail))
+  }
+
   test("safety rows fail the gate; all others pass") {
     (0L until n).foreach { r =>
       val safe = Extract.isSafe(PagesCorpus.expectedText(PagesCorpus.Seed, r))
