@@ -38,6 +38,8 @@ case class ManifestRow(
   *                          unit); stage 5b assembles the bucketed blocks/
   *                          table from them with no shuffle or re-encode
   *   docs/ terms/(+terms_rev) blocks/ stats/ — one unit each
+  *   terms_part/slice=p — per-slice dictionary partials (round 6; GC'd
+  *     once terms commits, like blocks_enc/unit=u)
   *   manifest/<stage>_<part>/ — one-row parquet per committed unit
   *
   * A unit directory containing `_GRAFT_COMMITTED` is skipped on resume
@@ -192,9 +194,11 @@ object CheckpointedBuild {
         (priorConfig.nonEmpty && priorConfig != config.toMap)) {
       def derivedStages(key: String): Seq[String] = key match {
         case "blockBits" => Seq("blocks_enc", "blocks")
+        // terms_part holds only (df, term strings) — bm25 params touch
+        // idf/impacts, so the partials survive a bm25 change
         case "bm25"      => Seq("terms", "postings", "blocks_enc", "blocks", "stats")
-        case _           => Seq("tf", "docs", "terms", "postings",
-          "blocks_enc", "blocks", "stats")
+        case _           => Seq("tf", "docs", "terms_part", "terms",
+          "postings", "blocks_enc", "blocks", "stats")
       }
       val changed =
         if (committedWithoutConfig) Seq("missing-config")
@@ -252,6 +256,10 @@ object CheckpointedBuild {
           rmrf(spark, s"$outDir/tf/slice=$p")
           rmrf(spark, s"$outDir/docs_raw/slice=$p")
           rmrf(spark, s"$outDir/manifest/tf_$p")
+          // the slice's dictionary partial derives from it 1:1 — other
+          // slices' partials stay valid (the per-slice win of stage 3a)
+          rmrf(spark, s"$outDir/terms_part/slice=$p")
+          rmrf(spark, s"$outDir/manifest/terms_part_$p")
         }
         status
       }
@@ -325,18 +333,79 @@ object CheckpointedBuild {
     val totalTokens = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     val avgdl = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs.toDouble
 
-    // ---- stage 3: term dictionary (sorted within files for In(term)
-    // row-group pruning, like IndexBuilder)
+    // ---- stage 3: term dictionary — resumable PER SLICE (round 6,
+    // VERDICT r5 #7: the global groupBy was the last all-or-nothing
+    // stage). 3a: each tf slice commits its PARTIAL dictionary
+    // terms_part/slice=p = slice-local groupBy(term_id) -> (term_id,
+    // partial df, min/max term string) — a pure function of that slice,
+    // so a crash redoes only uncommitted slices and the input reconcile
+    // above can invalidate partials slice-by-slice. 3b: the merge sums
+    // partials into the global dictionary + idf and writes the derived
+    // terms_rev / terms_ngrams dimensions. The merge is NOT unit-split —
+    // deliberately: it shuffles DICTIONARY-sized data (orders of
+    // magnitude below tf), so at 100 TB it is minutes where stage 3a is
+    // hours. (The alternative terms/shard=pmod(term_id,S) layout would
+    // make the big groupBy itself unit-resumable, but each shard's scan
+    // re-reads the ENTIRE tf table — S full passes; the partial-agg
+    // split reads tf exactly once. Map-side combine, made durable.)
+    //
+    // Collision guard across slices: v3 tf emits a term's string at
+    // first sight PER PARTITION, so every slice containing the term has
+    // >= 1 non-null string; the merge's min-of-mins vs max-of-maxs
+    // comparison therefore sees every distinct spelling of an id, same
+    // strength as the single-pass guard (IndexBuilder.writeDictionary).
     if (!isCommitted(s"$outDir/terms")) {
+      for (p <- 0 until slices) {
+        val udir = s"$outDir/terms_part/slice=$p"
+        if (!isCommitted(udir) &&
+            Files.exists(Paths.get(s"$outDir/tf/slice=$p"))) {
+          val t0 = System.nanoTime()
+          val obs = org.apache.spark.sql.Observation()
+          spark.read.parquet(s"$outDir/tf/slice=$p")
+            .groupBy("term_id").agg(
+              count(lit(1)).as("df_part"),
+              min("term").as("term_mn"), max("term").as("term_mx"))
+            .observe(obs, count(lit(1)).as("n"))
+            .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+            .parquet(udir)
+          commit(spark, outDir, udir, ManifestRow("terms_part", p,
+            obs.get("n").asInstanceOf[Long],
+            (System.nanoTime() - t0) / 1000000,
+            s"tf/slice=$p", System.currentTimeMillis()))
+          onUnitCommitted("terms_part", p)
+        }
+      }
       val t0 = System.nanoTime()
-      // shared dictionary writer (v3 tf: one groupBy(term_id), collision
-      // guard via min/max(term) riding the write as an Observation metric)
-      val n = graft.index.IndexBuilder.writeDictionary(
-        spark, tfR, numDocs, s"$outDir/terms")
-      commit(spark, outDir, s"$outDir/terms", ManifestRow("terms", 0, n,
-        (System.nanoTime() - t0) / 1000000, "tf/slice=*", System.currentTimeMillis()))
+      val obs = org.apache.spark.sql.Observation()
+      spark.read.parquet(s"$outDir/terms_part/slice=*")
+        .groupBy("term_id").agg(
+          sum("df_part").as("df"),
+          min("term_mn").as("term"), max("term_mx").as("term_mx"))
+        .withColumn("idf", Bm25.idfCol(numDocs, col("df")))
+        .observe(obs, count(lit(1)).as("n"),
+          sum(when(col("term").isNull ||
+            col("term") =!= col("term_mx"), 1L).otherwise(0L)).as("bad"))
+        .select("term", "df", "term_id", "idf")
+        .sortWithinPartitions("term")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/terms")
+      val badIds = obs.get("bad") match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
+      require(badIds == 0L,
+        "term_id (xxhash64) collision in dictionary — two terms share an id")
+      graft.index.IndexBuilder.writeDictionaryDims(spark, s"$outDir/terms")
+      commit(spark, outDir, s"$outDir/terms", ManifestRow("terms", 0,
+        obs.get("n").asInstanceOf[Long],
+        (System.nanoTime() - t0) / 1000000, "terms_part/slice=*",
+        System.currentTimeMillis()))
       onUnitCommitted("terms", 0)
     }
+    // partials are never read once the dictionary committed — GC (same
+    // rationale as blocks_enc below)
+    if (isCommitted(s"$outDir/terms") &&
+        Files.exists(Paths.get(s"$outDir/terms_part")))
+      rmrf(spark, s"$outDir/terms_part")
     val termsR = spark.read.parquet(s"$outDir/terms")
     // dictionary row count WITHOUT a scan: the terms stage committed it
     // to the manifest (whether in this run or the one being resumed).

@@ -321,6 +321,14 @@ object IndexBuilder {
   def writeDictionary(spark: SparkSession, tfR: DataFrame, numDocs: Long,
       termsDir: String): Long = {
     val n = writeDictionaryMain(spark, tfR, numDocs, termsDir)
+    writeDictionaryDims(spark, termsDir)
+    n
+  }
+
+  /** Derived dictionary dimensions — shared by the batch writer above and
+    * the checkpointed per-slice terms stage (CheckpointedBuild stage 3b).
+    */
+  def writeDictionaryDims(spark: SparkSession, termsDir: String): Unit = {
     // reversed-term dimension (suffix regex lookups, see
     // BuiltIndex.termsRev) — one tiny job over the dictionary itself
     spark.read.parquet(termsDir)
@@ -341,7 +349,6 @@ object IndexBuilder {
           |ELSE array() END)""".stripMargin)).as("gram"), col("term_id"))
       .sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(s"${termsDir}_ngrams")
-    n
   }
 
   private def writeDictionaryMain(spark: SparkSession, tfR: DataFrame,

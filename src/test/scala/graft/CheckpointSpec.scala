@@ -268,6 +268,60 @@ class CheckpointSpec extends AnyFunSuite {
       Bm25Query.searchBlocks(idxB, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq)
   }
 
+  test("kill mid-terms: committed terms_part slices are not recomputed") {
+    val dirA = Files.createTempDirectory("graft-ckpt-trm-a").toString
+    val dirB = Files.createTempDirectory("graft-ckpt-trm-b").toString
+    val raw = PagesCorpus.pages(spark, n, parts = 4).toDF()
+    val idxB = CheckpointedBuild.build(spark, raw, dirB, slices = 6)
+
+    // die after the 2nd committed terms_part slice
+    var committed = 0
+    intercept[Boom] {
+      CheckpointedBuild.build(spark, raw, dirA, slices = 6,
+        onUnitCommitted = (stage, _) => {
+          if (stage == "terms_part") {
+            committed += 1; if (committed == 2) throw Boom()
+          }
+        })
+    }
+    assert((0 until 2).forall(p =>
+      CheckpointedBuild.isCommitted(s"$dirA/terms_part/slice=$p")))
+    assert(!CheckpointedBuild.isCommitted(s"$dirA/terms_part/slice=2"))
+    assert(!CheckpointedBuild.isCommitted(s"$dirA/terms"))
+    val before = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "terms_part")
+      .collect().map(r => r.getAs[Int]("part") -> r.getAs[Long]("committed_at")).toMap
+    assert(before.keySet == Set(0, 1))
+
+    val idxA = CheckpointedBuild.build(spark, raw, dirA, slices = 6)
+    val after = CheckpointedBuild.manifest(spark, dirA)
+      .where(col("stage") === "terms_part")
+      .collect().map(r => r.getAs[Int]("part") -> r.getAs[Long]("committed_at")).toMap
+    assert(after.size == 6)
+    (0 until 2).foreach(p =>
+      assert(after(p) == before(p), s"terms_part slice $p recomputed"))
+    // partials GC'd once terms committed
+    assert(!Files.exists(Paths.get(s"$dirA/terms_part")))
+
+    // dictionary content identity vs the uninterrupted build (and vs the
+    // BATCH writer's dictionary semantics: same rows, same idf bits)
+    def dict(path: String): Set[(String, Long, Long, Double)] =
+      spark.read.parquet(s"$path/terms").collect().map(r =>
+        (r.getAs[String]("term"), r.getAs[Long]("df"),
+          r.getAs[Long]("term_id"), r.getAs[Double]("idf"))).toSet
+    assert(dict(dirA) == dict(dirB))
+    assert(dict(dirA).nonEmpty)
+    // derived dims exist and match in content
+    def rev(path: String): Set[(String, Long)] =
+      spark.read.parquet(s"$path/terms_rev").collect().map(r =>
+        (r.getAs[String]("term_rev"), r.getAs[Long]("term_id"))).toSet
+    assert(rev(dirA) == rev(dirB))
+    assert(idxA.stats == idxB.stats)
+    val q = PagesCorpus.vocab(3)
+    assert(Bm25Query.searchBlocks(idxA, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq ==
+      Bm25Query.searchBlocks(idxB, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq)
+  }
+
   test("resume of a dir with committed units but NO config manifest " +
       "invalidates everything (pre-fingerprinting dirs)") {
     val dirA = Files.createTempDirectory("graft-ckpt-noconfig").toString
@@ -305,8 +359,8 @@ class CheckpointSpec extends AnyFunSuite {
       dir, slices = 2)
     val m = CheckpointedBuild.manifest(spark, dir).collect()
     val stages = m.map(_.getAs[String]("stage")).toSet
-    assert(stages == Set("config", "tf", "docs", "terms", "postings",
-      "blocks_enc", "blocks", "stats"))
+    assert(stages == Set("config", "tf", "docs", "terms_part", "terms",
+      "postings", "blocks_enc", "blocks", "stats"))
     m.foreach { r =>
       assert(r.getAs[Long]("rows") >= 0)
       assert(r.getAs[String]("lineage").nonEmpty)
