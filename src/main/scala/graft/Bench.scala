@@ -41,6 +41,7 @@ object Bench {
     "p3_regex_prefix" -> "regex",
     "p3_regex_suffix" -> "regex",
     "p3_regex_infix" -> "regex",
+    "p3_regex_batch" -> "regex",
     // index/aggregate derivations
     "a1_postings" -> "agg",
     "a6_doclen" -> "agg",

@@ -556,6 +556,22 @@ object SparkEntry {
       graft.query.RegexQuery.search(indexFor(s, dir), documents(s, dir),
         "\\w+ustome\\w+", 1000).toDF().select("doc_id")),
 
+    // batched regex serving (round 6): every class — accelerated,
+    // alternation, prefix/suffix/infix, full scan — through the shared
+    // kernel (one postings pass + chunked verify legs + one fullscan
+    // content pass); per-query results must equal RegexQuery.search and
+    // therefore the per-pattern oracles
+    "p3_regex_batch" -> ((s, dir) => {
+      val pats = Seq("spark\\s+\\w+\\s+merge", "(vector|stream)\\s+\\w+",
+        "\\svect\\w+", "\\w+tor\\s", "\\w+ustome\\w+", "ba.ch")
+      val res = graft.query.RegexQuery.searchBatch(indexFor(s, dir),
+        documents(s, dir), pats, 1000)
+      import s.implicits._
+      res.zipWithIndex.flatMap { case (hits, qi) =>
+        hits.map(h => (qi.toLong, h.doc_id))
+      }.toDF("qid", "doc_id")
+    }),
+
     // --- W2: fast-rank cut — rank on cheap metadata, rescore top slice ---
     "w2_fast_rank" -> ((s, dir) => {
       val top = documents(s, dir)
@@ -1276,6 +1292,20 @@ object SparkEntry {
     "p3_regex_infix" ->
       """SELECT doc_id FROM documents
         |WHERE regexp_matches(lower(text), '\w+ustome\w+')""".stripMargin,
+
+    "p3_regex_batch" ->
+      """SELECT 0 AS qid, doc_id FROM documents
+        |WHERE regexp_matches(lower(text), 'spark\s+\w+\s+merge')
+        |UNION ALL SELECT 1 AS qid, doc_id FROM documents
+        |WHERE regexp_matches(lower(text), '(vector|stream)\s+\w+')
+        |UNION ALL SELECT 2 AS qid, doc_id FROM documents
+        |WHERE regexp_matches(lower(text), '\svect\w+')
+        |UNION ALL SELECT 3 AS qid, doc_id FROM documents
+        |WHERE regexp_matches(lower(text), '\w+tor\s')
+        |UNION ALL SELECT 4 AS qid, doc_id FROM documents
+        |WHERE regexp_matches(lower(text), '\w+ustome\w+')
+        |UNION ALL SELECT 5 AS qid, doc_id FROM documents
+        |WHERE regexp_matches(lower(text), 'ba.ch')""".stripMargin,
 
     "u2_except" ->
       """SELECT doc_id FROM documents WHERE lang = 'en'

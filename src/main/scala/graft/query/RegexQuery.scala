@@ -569,4 +569,239 @@ object RegexQuery {
       Hit(d, urls.getOrElse(d, ""), s, i + 1)
     }.toSeq)
   }
+
+  // ------------------------------------------------------------------
+  // Batched regex serving (round 6)
+  // ------------------------------------------------------------------
+
+  /** Per-literal driver-side term-id cap for the batch kernel: a literal
+    * whose dictionary lookup exceeds this many term_ids sends its query
+    * through the single-query path (a set that large degrades toward a
+    * scan there too). 100k ids = ~800 KB on the driver.
+    */
+  val MaxBatchLiteralTermIds = 100000
+
+  /** Batched regex serving: B patterns answered with SHARED jobs —
+    * regex was the one class still paying its full single-query cost
+    * (p50 ~2.6 s), and the reference's load mix is 5% regex
+    * (fast_code_search_validator.rs:706-719). Per-query results are
+    * BIT-IDENTICAL to [[search]] (RegexBatchSpec).
+    *
+    * Job sharing, by query class (classes analyzed on the driver):
+    *   - RANKED (one branch, all literals complete terms): per-query
+    *     (doc_id, score) collect via the SAME pushed scoredNaive job as
+    *     the single path (cheap: In(term_id) prunes postings row groups),
+    *     then the verify rides the shared leg union below.
+    *   - ACCELERATED (literal branches with open sides): ONE postings
+    *     pass answers every query — each literal's dictionary term_ids
+    *     collect (capped at [[MaxBatchLiteralTermIds]]), a broadcast
+    *     (term_id -> qi, branch, req) mapping replays the per-branch
+    *     conjunctive countDistinct merge per query, and the pushed
+    *     In(term_id) over the UNION of all queries' ids prunes the one
+    *     scan. Per-query candidates cap at [[MaxPushedVerifyDocs]]
+    *     (row_number window); over-cap queries fall back.
+    *   - VERIFY for both classes: union of per-query PRUNED content
+    *     scans (In(doc_id) pushed below the regexp filter, like the
+    *     single path / lines batch), CHUNKED so the driver collect stays
+    *     under `maxCollectRows`.
+    *   - FULL SCAN (no usable literal): ONE content pass evaluates every
+    *     scan query's regex per row (array-of-when + explode) — B full
+    *     scans become one; per-query top-k taken distributed (window)
+    *     before the collect.
+    *   - One shared url lookup attaches urls for every query's winners.
+    */
+  def searchBatch(index: BuiltIndex, pagesText: DataFrame,
+      patterns: Seq[String], k: Int,
+      maxCollectRows: Long = Bm25Query.MaxBatchCollectRows): Seq[Vector[Hit]] = {
+    val spark = index.spark
+    import spark.implicits._
+    val kk = math.max(1, math.min(k, 1000))
+    val out = scala.collection.mutable.Map.empty[Int, Vector[Hit]]
+    def rxOf(p: String) = "(?is)" + p
+
+    // ---- driver-side classification ----
+    final case class Planned(qi: Int, branches: Seq[Seq[Lit]])
+    val ranked = scala.collection.mutable.ArrayBuffer.empty[Planned]
+    val accel = scala.collection.mutable.ArrayBuffer.empty[Planned]
+    val fullscan = scala.collection.mutable.ArrayBuffer.empty[Int]
+    patterns.zipWithIndex.foreach { case (p, qi) =>
+      val branches = requiredLiteralBranches(p)
+      if (branches.size == 1 && branches.head.forall(_.bothBound))
+        ranked += Planned(qi, branches)
+      else if (branches.nonEmpty) accel += Planned(qi, branches)
+      else fullscan += qi
+    }
+
+    // scores per ranked query (null marks "fell back / empty")
+    val rankedPairs = scala.collection.mutable.Map.empty[Int, Array[(Long, Double)]]
+    ranked.foreach { pl =>
+      Bm25Query.scoredNaive(index,
+        pl.branches.head.map(_.text).mkString(" "), conjunctive = true) match {
+        case None => out(pl.qi) = Vector.empty // literal not in corpus
+        case Some(scored) =>
+          val pairs = scored.select("doc_id", "score")
+            .limit(MaxPushedVerifyDocs + 1)
+            .collect().map(r => (r.getLong(0), r.getDouble(1)))
+          if (pairs.length > MaxPushedVerifyDocs)
+            out(pl.qi) = search(index, pagesText, patterns(pl.qi), kk)
+              .collect().toVector
+          else rankedPairs(pl.qi) = pairs
+      }
+    }
+
+    // ---- accelerated class: one shared postings pass ----
+    val accelIds = scala.collection.mutable.Map.empty[Int, Array[Long]]
+    if (accel.nonEmpty) {
+      // resolve every literal's term_ids (tiny pruned dictionary jobs;
+      // exact literals batch into ONE In(term) scan)
+      val exactTexts = accel.flatMap(_.branches).flatten
+        .filter(_.bothBound).map(_.text).distinct
+      val exactIds: Map[String, Array[Long]] =
+        if (exactTexts.isEmpty) Map.empty
+        else index.terms.where(col("term").isin(exactTexts.toSeq: _*))
+          .select("term", "term_id").as[(String, Long)].collect()
+          .groupBy(_._1).map { case (t, a) => t -> a.map(_._2) }
+      val openIds = scala.collection.mutable.Map.empty[(String, Boolean, Boolean), Array[Long]]
+      val overCap = scala.collection.mutable.Set.empty[Int]
+      accel.foreach { pl =>
+        pl.branches.flatten.foreach { l =>
+          if (!overCap(pl.qi) && !l.bothBound &&
+              !openIds.contains((l.text, l.leftBound, l.rightBound))) {
+            val ids = termIdsForLiteral(index, l)
+              .limit(MaxBatchLiteralTermIds + 1).as[Long].collect()
+            if (ids.length > MaxBatchLiteralTermIds) overCap += pl.qi
+            else openIds((l.text, l.leftBound, l.rightBound)) = ids
+          }
+        }
+      }
+      def idsOf(l: Lit): Array[Long] =
+        if (l.bothBound) exactIds.getOrElse(l.text, Array.empty)
+        else openIds.getOrElse((l.text, l.leftBound, l.rightBound), Array.empty)
+      overCap.foreach { qi =>
+        out(qi) = search(index, pagesText, patterns(qi), kk).collect().toVector
+      }
+      val live = accel.filterNot(pl => overCap(pl.qi))
+      // mapping (term_id, qi, branch, req) for branches where EVERY
+      // literal resolved (a branch with an unresolvable literal yields
+      // no candidates in the single path — skip it here the same way)
+      val mapRows = live.flatMap { pl =>
+        pl.branches.zipWithIndex.flatMap { case (br, bi) =>
+          val perLit = br.map(idsOf)
+          if (perLit.exists(_.isEmpty)) Nil
+          else perLit.zipWithIndex.flatMap { case (ids, req) =>
+            ids.map(id => (id, pl.qi, bi, req))
+          }
+        }
+      }
+      if (mapRows.nonEmpty) {
+        val needRows = live.flatMap { pl =>
+          pl.branches.zipWithIndex.map { case (br, bi) => (pl.qi, bi, br.size) }
+        }
+        val allIds = mapRows.map(_._1).distinct
+        val mapDf = spark.createDataset(mapRows.toIndexedSeq)
+          .toDF("term_id", "qi", "bi", "req")
+        val needDf = spark.createDataset(needRows.toIndexedSeq)
+          .toDF("qi", "bi", "need")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qi").orderBy(col("doc_id").asc)
+        val rows = index.postings
+          .where(col("term_id").isin(allIds.toIndexedSeq: _*))
+          .join(broadcast(mapDf), Seq("term_id"))
+          .groupBy("qi", "bi", "doc_id")
+          .agg(countDistinct(col("req")).as("nreq"))
+          .join(broadcast(needDf), Seq("qi", "bi"))
+          .where(col("nreq") === col("need"))
+          .select("qi", "doc_id").distinct()
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= MaxPushedVerifyDocs + 1)
+          .select("qi", "doc_id").as[(Int, Long)].collect()
+        val byQ = rows.groupBy(_._1)
+        live.foreach { pl =>
+          val ids = byQ.getOrElse(pl.qi, Array.empty[(Int, Long)]).map(_._2)
+          if (ids.length > MaxPushedVerifyDocs)
+            out(pl.qi) = search(index, pagesText, patterns(pl.qi), kk)
+              .collect().toVector
+          else accelIds(pl.qi) = ids.sorted
+        }
+      } else live.foreach(pl => accelIds(pl.qi) = Array.empty)
+    }
+
+    // ---- verify: chunked union of per-query pruned scans ----
+    final case class Leg(qi: Int, ids: Array[Long])
+    val legs = (rankedPairs.keysIterator.map(qi =>
+        Leg(qi, rankedPairs(qi).map(_._1))) ++
+      accelIds.keysIterator.map(qi => Leg(qi, accelIds(qi))))
+      .filter(_.ids.nonEmpty).toSeq.sortBy(_.qi)
+    rankedPairs.keysIterator.filter(rankedPairs(_).isEmpty)
+      .foreach(qi => out(qi) = Vector.empty)
+    accelIds.keysIterator.filter(accelIds(_).isEmpty)
+      .foreach(qi => out(qi) = Vector.empty)
+    val verified = scala.collection.mutable.Map.empty[Int, Array[Long]]
+    if (legs.nonEmpty) {
+      // chunk by cumulative id budget (the collect upper bound)
+      val chunks = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[Leg])
+      var budget = 0L
+      legs.foreach { leg =>
+        if (budget + leg.ids.length > maxCollectRows && chunks.last.nonEmpty) {
+          chunks += scala.collection.mutable.ArrayBuffer.empty[Leg]
+          budget = 0L
+        }
+        chunks.last += leg; budget += leg.ids.length
+      }
+      chunks.foreach { chunk =>
+        val rows = chunk.map { leg =>
+          pagesText
+            .where(col("doc_id").isin(leg.ids.toIndexedSeq: _*))
+            .where(regexp_like(col("text"), lit(rxOf(patterns(leg.qi)))))
+            .select(lit(leg.qi).as("qi"), col("doc_id"))
+        }.reduce(_ unionByName _).as[(Int, Long)].collect()
+        rows.groupBy(_._1).foreach { case (qi, arr) =>
+          verified(qi) = arr.map(_._2)
+        }
+      }
+    }
+    legs.foreach { leg =>
+      val ids = verified.getOrElse(leg.qi, Array.empty[Long])
+      val hitsSorted: Array[(Long, Double)] = rankedPairs.get(leg.qi) match {
+        case Some(pairs) =>
+          val scoreOf = pairs.toMap
+          ids.map(d => (d, scoreOf(d))).sortBy { case (d, s) => (-s, d) }
+        case None => ids.sorted.map(d => (d, 0.0))
+      }
+      out(leg.qi) = hitsSorted.take(kk).toVector.map { case (d, s) =>
+        Hit(d, "", s, 0) // url + rank attached below
+      }
+    }
+
+    // ---- full-scan class: ONE content pass for every scan query ----
+    if (fullscan.nonEmpty) {
+      val tagged = fullscan.map(qi =>
+        when(regexp_like(col("text"), lit(rxOf(patterns(qi)))), lit(qi)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qi").orderBy(col("doc_id").asc)
+      val rows = pagesText.select(col("doc_id"),
+          explode(filter(array(tagged.toSeq: _*), x => x.isNotNull)).as("qi"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= kk)
+        .select("qi", "doc_id").as[(Int, Long)].collect()
+      val byQ = rows.groupBy(_._1)
+      fullscan.foreach { qi =>
+        out(qi) = byQ.getOrElse(qi, Array.empty[(Int, Long)]).map(_._2).sorted.take(kk)
+          .toVector.map(d => Hit(d, "", 0.0, 0))
+      }
+    }
+
+    // ---- one shared url lookup + final ranks ----
+    val needUrls = out.valuesIterator.flatten.map(_.doc_id).toArray.distinct
+    val urls =
+      if (needUrls.isEmpty) Map.empty[Long, String]
+      else index.docs.where(col("doc_id").isin(needUrls.toIndexedSeq: _*))
+        .select("doc_id", "url").as[(Long, String)].collect().toMap
+    patterns.indices.map { qi =>
+      out.getOrElse(qi, Vector.empty).zipWithIndex.map { case (h, i) =>
+        Hit(h.doc_id, urls.getOrElse(h.doc_id, h.url), h.score, i + 1)
+      }
+    }.toVector
+  }
 }

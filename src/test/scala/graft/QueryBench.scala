@@ -158,6 +158,23 @@ object QueryBench {
     val lBest = lt.min
     println(f"[loadtest:batched_lines] queries=${lq.size} rounds=$rounds " +
       f"best_wall=${lBest}%.0fms amortized=${lBest / lq.size}%.1fms/query")
+
+    // batched REGEX class (round 6): the one class that still paid its
+    // full single-query cost (p50 ~2.6 s) — B patterns through
+    // RegexQuery.searchBatch: one shared postings pass (accelerated
+    // classes), chunked verify legs, one content pass for all fullscans
+    val rq = (0 until 8).map(i => s"${PagesCorpus.vocab(8 + i)}\\s+\\w+") ++
+      Seq("(vector|stream)\\s+\\w+", "ba.a")
+    graft.query.RegexQuery.searchBatch(idx, pages, rq, 100) // warm
+    val rt = (0 until rounds).map { _ =>
+      val t0 = System.nanoTime()
+      graft.query.RegexQuery.searchBatch(idx, pages, rq, 100)
+      (System.nanoTime() - t0) / 1e6
+    }
+    val rBest = rt.min
+    println(f"[loadtest:batched_regex] queries=${rq.size} rounds=$rounds " +
+      f"best_wall=${rBest}%.0fms amortized=${rBest / rq.size}%.1fms/query " +
+      f"qps=${rq.size / (rBest / 1000.0)}%.1f")
     spark.stop()
     // ~750 MB of per-run scratch; leaked copies filled /tmp in round 5
     ScalingBench.deleteRecursively(dir)
