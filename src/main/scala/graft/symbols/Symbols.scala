@@ -51,29 +51,42 @@ object Symbols {
     * markup; this is the real extraction path for web pages.
     */
   def extractWeb(pages: DataFrame): DataFrame = {
-    def part(kind: String, pattern: String): DataFrame =
-      pages
-        .select(col("doc_id"),
-          posexplode(regexp_extract_all(col("html"), lit(pattern), lit(1)))
-            .as(Seq("ord0", "raw")))
-        .select(col("doc_id"),
-          lower(trim(col("raw"))).as("name"),
-          lit(kind).as("kind"),
-          (col("ord0") + 1).cast("int").as("line"))
-        .where(length(col("name")) > 2)
-    // `(?i)` + optional attribute tail on every open tag; heading levels
-    // are matched per level (a union of <h1>..</h1> .. <h6>..</h6>
-    // patterns) so mismatched pairs like <h1>x</h2> do NOT extract — the
-    // previous single <h[1-6]>..</h[1-6]> class paired them. The open-tag
-    // attribute form `(?:\s[^>]*)?` requires whitespace before attributes,
-    // so <abbr>/<address> never match the anchor pattern. `line` is the
-    // 1-based ordinal of the element within its PATTERN (i.e. per heading
-    // level), the structural-position analog of a line number.
-    val headings = (1 to 6).map(l =>
-      part("heading", s"(?i)<h$l(?:\\s[^>]*)?>([^<]*)</h$l\\s*>"))
-    (part("title", "(?i)<title(?:\\s[^>]*)?>([^<]*)</title\\s*>")
-      +: headings :+ part("anchor", "(?i)<a(?:\\s[^>]*)?>([^<]*)</a\\s*>"))
-      .reduce(_ unionByName _)
+    // ONE pass over the html (round 6; the round-5 shape ran 8
+    // regexp_extract_all scans — title + six heading levels + anchor —
+    // and the gate cost showed it): a combined pattern captures the open
+    // tag and its inner text, and the BACKREFERENCE `</\1\s*>` enforces
+    // the same-level close tag, so mismatched pairs like <h1>x</h2>
+    // still do not extract. `(?i)` keeps backreference matching
+    // case-insensitive (<h1>x</H1> pairs, as the per-level patterns
+    // did). The attribute form `(?:\s[^>]*)?` requires whitespace before
+    // attributes, so <abbr>/<address> never match the anchor
+    // alternative. Inner text is [^<]* — matches can never overlap or
+    // nest, so the combined scan finds EXACTLY the union of the old
+    // per-pattern scans' matches, in document order.
+    //
+    // `line` is the 1-based ordinal of the element within its TAG (per
+    // heading level, like the old per-pattern ordinals): a window over
+    // (doc_id, tag) on the global match ordinal, computed BEFORE the
+    // short-name filter (filtered-out names consumed an ordinal in the
+    // old shape too). The heavy regex runs once over the full html;
+    // tag/name re-parse on the small per-match strings.
+    val rx = "(?i)<(title|h[1-6]|a)(?:\\s[^>]*)?>([^<]*)</\\1\\s*>"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "tag").orderBy(col("ord0").asc)
+    pages
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("html"), lit(rx), lit(0)))
+          .as(Seq("ord0", "m")))
+      .select(col("doc_id"), col("ord0"),
+        lower(regexp_extract(col("m"), "(?i)^<([a-z0-9]+)", 1)).as("tag"),
+        lower(trim(regexp_extract(col("m"), rx, 2))).as("name"))
+      .withColumn("line", row_number().over(w).cast("int"))
+      .where(length(col("name")) > 2)
+      .select(col("doc_id"), col("name"),
+        when(col("tag") === "title", "title")
+          .when(col("tag") === "a", "anchor")
+          .otherwise("heading").as("kind"),
+        col("line"))
   }
 
   /** Optional modifier keywords a definition line may carry before the
