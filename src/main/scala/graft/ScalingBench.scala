@@ -296,7 +296,7 @@ object ScalingBench {
     * build/query code under measurement is unchanged. Bump on any change
     * that could move the build's byte/compute profile.
     */
-  private val WorkloadVersion = "r5-tfv3-encFromTf"
+  private val WorkloadVersion = "r6-extractV5"
 
   /** Best-ever probe seconds per (kind, cores), persisted across
     * invocations — the host's demonstrated clean capability. Merged with
