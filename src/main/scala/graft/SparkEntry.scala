@@ -143,6 +143,11 @@ object SparkEntry {
     */
   private def codeView(s: SparkSession, dir: String): DataFrame = {
     def w(n: Int) = element_at(split(col("text"), " "), n)
+    // 18-line synthetic source file per doc, exercising EVERY grammar arm
+    // (round 6): keyword families of all ten kinds, Go receiver / Ruby
+    // singleton / typed-declaration methods, the two-line and single-line
+    // C definition shapes, plus non-definition lines that must not
+    // extract. Twin construction: [[CodeViewBody]].
     documents(s, dir).select(
       col("doc_id"),
       concat(
@@ -151,7 +156,19 @@ object SparkEntry {
         lit("class "), w(4), lit("_type:\n"),
         lit("let "), w(5), lit(" = 1\n"),
         lit("pub fn "), w(6), lit("_go():\n"),
-        lit("x = "), w(7)).as("text"))
+        lit("x = "), w(7), lit("\n"),
+        lit("const "), w(1), lit("_cmax = 9\n"),
+        lit("type "), w(2), lit("_t = int\n"),
+        lit("struct "), w(3), lit("_s {\n"),
+        lit("trait "), w(4), lit("_tr:\n"),
+        lit("interface "), w(5), lit("_i {\n"),
+        lit("enum "), w(6), lit("_e {\n"),
+        lit("  public static int "), w(7), lit("_len() {\n"),
+        lit("func (s "), w(1), lit(") "), w(2), lit("_recv() {\n"),
+        lit("def self."), w(3), lit("_sing\n"),
+        lit("static long\n"),
+        w(4), lit("_cfn(int n) {\n"),
+        lit("int "), w(5), lit("_main(int argc) {")).as("text"))
   }
 
   /** Edges EXTRACTED from page content (round 4; previously synthetic):
@@ -509,6 +526,10 @@ object SparkEntry {
     "sym_code_extract" -> ((s, dir) =>
       Symbols.extractCode(codeView(s, dir))),
 
+    // synthetic FileName symbols (engine.rs:501-509: stem @ line 0)
+    "sym_filenames" -> ((s, dir) =>
+      Symbols.extractFileNames(webView(s, dir))),
+
     "sym_code_search" -> ((s, dir) =>
       Symbols.search(Symbols.extractCode(codeView(s, dir)), "table", 10)
         .select(col("doc_id"), round(col("score"), 4).as("score"),
@@ -637,36 +658,69 @@ object SparkEntry {
     * CTE chains): both sides derive the SAME 6-line source file per doc,
     * so the gates verify the definition-grammar extraction over it.
     */
-  private val CodeViewBody =
-    """cv AS (SELECT doc_id,
-      |  'def ' || string_split(text, ' ')[1] || '_' || string_split(text, ' ')[2] || '():' || chr(10) ||
-      |  '    return ' || string_split(text, ' ')[3] || chr(10) ||
-      |  'class ' || string_split(text, ' ')[4] || '_type:' || chr(10) ||
-      |  'let ' || string_split(text, ' ')[5] || ' = 1' || chr(10) ||
-      |  'pub fn ' || string_split(text, ' ')[6] || '_go():' || chr(10) ||
-      |  'x = ' || string_split(text, ' ')[7] AS code
-      |  FROM documents)""".stripMargin
+  private val CodeViewBody = {
+    def w(n: Int) = s"string_split(text, ' ')[$n]"
+    s"""cv AS (SELECT doc_id,
+       |  'def ' || ${w(1)} || '_' || ${w(2)} || '():' || chr(10) ||
+       |  '    return ' || ${w(3)} || chr(10) ||
+       |  'class ' || ${w(4)} || '_type:' || chr(10) ||
+       |  'let ' || ${w(5)} || ' = 1' || chr(10) ||
+       |  'pub fn ' || ${w(6)} || '_go():' || chr(10) ||
+       |  'x = ' || ${w(7)} || chr(10) ||
+       |  'const ' || ${w(1)} || '_cmax = 9' || chr(10) ||
+       |  'type ' || ${w(2)} || '_t = int' || chr(10) ||
+       |  'struct ' || ${w(3)} || '_s {' || chr(10) ||
+       |  'trait ' || ${w(4)} || '_tr:' || chr(10) ||
+       |  'interface ' || ${w(5)} || '_i {' || chr(10) ||
+       |  'enum ' || ${w(6)} || '_e {' || chr(10) ||
+       |  '  public static int ' || ${w(7)} || '_len() {' || chr(10) ||
+       |  'func (s ' || ${w(1)} || ') ' || ${w(2)} || '_recv() {' || chr(10) ||
+       |  'def self.' || ${w(3)} || '_sing' || chr(10) ||
+       |  'static long' || chr(10) ||
+       |  ${w(4)} || '_cfn(int n) {' || chr(10) ||
+       |  'int ' || ${w(5)} || '_main(int argc) {' AS code
+       |  FROM documents)""".stripMargin
+  }
 
-  private def symCodePart(kind: String, kws: String): String =
-    s"""SELECT doc_id,
-       |  lower(regexp_extract(line,
-       |    '^\\s*(?:(?:pub|public|private|protected|static|async|export|final|abstract|override)\\s+)*(?:$kws)\\s+([A-Za-z_][A-Za-z0-9_]*)',
-       |    1)) AS name,
-       |  '$kind' AS kind, CAST(ln AS INT) AS line FROM cl""".stripMargin
+  /** One UNION ALL leg per grammar arm, generated from the SAME
+    * [[graft.symbols.Symbols.CodeArms]] constants Spark compiles — the
+    * regexes cannot drift between engines (RE2 in DuckDB, java.util.regex
+    * in Spark, all patterns inside the shared subset: no lookahead, arm
+    * disambiguation is explicit NOT-matches).
+    */
+  private def symCodeArmSql(a: graft.symbols.Symbols.CodeArm): String = {
+    val guards =
+      a.notRx.map(r => s"\n  AND NOT regexp_matches(ltxt, '$r')").mkString
+    if (!a.onPrevLine)
+      s"""SELECT doc_id, lower(regexp_extract(ltxt, '${a.rx}', 1)) AS name,
+         |  '${a.kind}' AS kind, CAST(ln AS INT) AS line, ind AS "column"
+         |FROM cl WHERE regexp_matches(ltxt, '${a.rx}')$guards""".stripMargin
+    else
+      s"""SELECT doc_id, lower(regexp_extract(ltxt, '${a.rx}', 1)) AS name,
+         |  '${a.kind}' AS kind, CAST(ln - 1 AS INT) AS line, 0 AS "column"
+         |FROM cl WHERE regexp_matches(ltxt, '${a.rx}')$guards
+         |  AND prev IS NOT NULL
+         |  AND regexp_matches(prev, '${graft.symbols.Symbols.cTypeLineRx}')
+         |  AND NOT regexp_matches(prev, '${graft.symbols.Symbols.kwAnyRx}')""".stripMargin
+  }
 
-  /** Twin of Symbols.extractCode over the code view — same anchored
-    * modifier + keyword + identifier patterns (RE2 in DuckDB,
-    * java.util.regex in Spark, both inside the shared subset).
+  /** Twin of Symbols.extractCode over the code view: exploded lines with
+    * a doc-local lag (the two-line C arm reads the previous line) and the
+    * leading-space count (the `column` field), then the generated arm
+    * union.
     */
   private val SymCodeBody =
-    s"""cl AS (SELECT doc_id,
-       |         unnest(string_split(code, chr(10))) AS line,
-       |         unnest(range(1, len(string_split(code, chr(10))) + 1)) AS ln
-       |       FROM cv),
-       |scall AS (${symCodePart("function", "function|func|fn|def")}
-       |  UNION ALL ${symCodePart("class", "interface|object|struct|trait|class|enum")}
-       |  UNION ALL ${symCodePart("variable", "const|val|var|let")}),
-       |sy AS (SELECT * FROM scall WHERE length(name) > 2)""".stripMargin
+    s"""cl AS (SELECT doc_id, ltxt, ln,
+       |         lag(ltxt) OVER (PARTITION BY doc_id ORDER BY ln) AS prev,
+       |         CAST(length(ltxt) - length(ltrim(ltxt)) AS INT) AS ind
+       |       FROM (SELECT doc_id,
+       |               unnest(string_split(code, chr(10))) AS ltxt,
+       |               unnest(range(1, len(string_split(code, chr(10))) + 1)) AS ln
+       |             FROM cv)),
+       |scall AS (${graft.symbols.Symbols.CodeArms.map(symCodeArmSql)
+                     .mkString("\n  UNION ALL ")}),
+       |sy AS (SELECT *, TRUE AS is_definition FROM scall
+       |       WHERE length(name) > 2)""".stripMargin
 
   /** Twin of the code symbols-search semantics (scan and indexed gates
     * must produce identical results).
@@ -1263,7 +1317,17 @@ object SparkEntry {
     "sym_code_extract" ->
       s"""WITH $CodeViewBody,
          |$SymCodeBody
-         |SELECT doc_id, name, kind, line FROM sy""".stripMargin,
+         |SELECT doc_id, name, kind, line, "column", is_definition FROM sy""".stripMargin,
+
+    "sym_filenames" ->
+      s"""WITH u AS (SELECT doc_id,
+         |  'https://corpus.example/doc-' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents)
+         |SELECT doc_id,
+         |  lower(regexp_extract(url, '${graft.symbols.Symbols.FileNameRx}', 1)) AS name,
+         |  'filename' AS kind, 0 AS line, 0 AS "column", TRUE AS is_definition
+         |FROM u
+         |WHERE length(lower(regexp_extract(url, '${graft.symbols.Symbols.FileNameRx}', 1))) > 2""".stripMargin,
 
     "sym_code_search" -> SymCodeSearchSql,
 

@@ -2,7 +2,7 @@ package graft.symbols
 
 import java.util.Locale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Symbols-only search mode — the Spark re-expression of the reference's
@@ -96,38 +96,153 @@ object Symbols {
   private val CodeModifiers =
     "(?:(?:pub|public|private|protected|static|async|export|final|abstract|override)\\s+)*"
 
-  /** Code-definition symbol extraction (round 5) — the grammar-based
-    * upgrade of the line-based [[extract]] stand-in for corpora that carry
-    * source code: definition lines (`def`/`fn`/`func`/`function`,
-    * `class`/`struct`/`trait`/`object`/`interface`/`enum`,
-    * `val`/`var`/`let`/`const`, with optional modifier keywords) yield
-    * `(name, kind, line)` rows, the reference's tree-sitter node kinds
-    * (function / class / variable, /root/reference/src/symbols/
-    * extractor.rs:8-30) re-expressed as anchored line grammar. Pure
-    * Catalyst `regexp_extract` over exploded lines — codegen'd, no UDF;
-    * patterns stay inside the RE2 ∩ java.util.regex subset so the DuckDB
-    * oracle replays them verbatim. `line` is the true 1-based line
-    * number; names lowercase like every extractor here (search semantics
-    * are case-insensitive, engine.rs:1795-1800).
+  private val Ident = "[A-Za-z_][A-Za-z0-9_]*"
+
+  /** Any keyword-family definition line (used as a negative guard by the
+    * keyword-less arms — RE2 has no lookahead, so exclusion is an explicit
+    * second predicate both engines evaluate identically).
     */
-  def extractCode(pages: DataFrame): DataFrame = {
-    def part(kind: String, keywords: String): DataFrame =
-      pages
-        .select(col("doc_id"),
-          posexplode(split(col("text"), "\n")).as(Seq("ln0", "ltxt")))
-        .select(col("doc_id"),
-          lower(regexp_extract(col("ltxt"),
-            s"^\\s*$CodeModifiers(?:$keywords)\\s+([A-Za-z_][A-Za-z0-9_]*)",
-            1)).as("name"),
-          lit(kind).as("kind"),
-          (col("ln0") + 1).cast("int").as("line"))
-        .where(length(col("name")) > 2)
+  private val KwAnyRx =
+    s"^\\s*$CodeModifiers(?:function|func|fn|def|interface|object|struct|trait|class|enum|type|const|val|var|let)\\b"
+
+  /** One extraction arm of the definition grammar: regex (group 1 = the
+    * name), emitted kind, whether the symbol is attributed to the
+    * PREVIOUS line (the C return-type-on-its-own-line shape), and extra
+    * guard regexes the line must NOT match (arm disambiguation).
+    */
+  private[graft] final case class CodeArm(rx: String, kind: String,
+      onPrevLine: Boolean = false, notRx: Seq[String] = Nil)
+
+  /** The line-grammar arms, the re-expression of the reference's
+    * tree-sitter node kinds (extractor.rs:101-470): keyword families for
+    * Rust/Python/JS/TS/Scala-style definitions, Go receiver methods
+    * (`method_declaration`), Ruby singleton methods (`singleton_method`),
+    * Java/C#-style typed method declarations, and C-style function
+    * definitions (keyword-less `name(args...` lines, including the
+    * two-line form whose return type sits alone on the preceding line —
+    * there the symbol is attributed to the type line, column 0, exactly
+    * where tree-sitter starts the `function_definition` node).
+    */
+  private val SingletonRx = s"^\\s*${CodeModifiers}def\\s+self\\.($Ident)"
+  private val GoMethodRx =
+    s"^\\s*func\\s*\\(\\s*$Ident\\s+\\*?$Ident\\s*\\)\\s+($Ident)"
+  private val TypedMethodRx =
+    "^\\s*(?:(?:public|private|protected|static|final|abstract|async|override)\\s+)+" +
+      s"$Ident(?:<[^>]*>)?(?:\\[\\])?\\s+($Ident)\\s*\\("
+  private val CFnRx = s"^(?:$Ident\\s+)+\\*?($Ident)\\s*\\([^;]*$$"
+  private val CNameRx = s"^($Ident)\\s*\\([^;]*$$"
+  /** A bare return-type line: words only, optional trailing `*`. */
+  private val CTypeLineRx = s"^$Ident(?:\\s+$Ident)*\\s*\\*?\\s*$$"
+
+  private def kwArm(kind: String, keywords: String) =
+    CodeArm(s"^\\s*$CodeModifiers(?:$keywords)\\s+($Ident)", kind)
+
+  private[graft] val CodeArms = Seq(
     // longest alternative first so e.g. `function` is never consumed as
     // `func` + non-space (both engines handle it, but explicit is clearer)
-    part("function", "function|func|fn|def")
-      .unionByName(part("class", "interface|object|struct|trait|class|enum"))
-      .unionByName(part("variable", "const|val|var|let"))
+    kwArm("function", "function|func|fn|def").copy(notRx = Seq(SingletonRx)),
+    CodeArm(SingletonRx, "method"),
+    CodeArm(GoMethodRx, "method"),
+    CodeArm(TypedMethodRx, "method", notRx = Seq(KwAnyRx)),
+    kwArm("class", "class|object"),
+    kwArm("struct", "struct"),
+    kwArm("trait", "trait"),
+    kwArm("interface", "interface"),
+    kwArm("enum", "enum"),
+    kwArm("type", "type"),
+    kwArm("constant", "const"),
+    kwArm("variable", "val|var|let"),
+    CodeArm(CFnRx, "function", notRx = Seq(KwAnyRx, TypedMethodRx)),
+    CodeArm(CNameRx, "function", onPrevLine = true, notRx = Seq(KwAnyRx)))
+
+  /** The prev-line predicates of the two-line C arm, shared with the
+    * DuckDB oracle generator (SparkEntry) so both engines compile the
+    * SAME strings.
+    */
+  private[graft] def cTypeLineRx: String = CTypeLineRx
+  private[graft] def kwAnyRx: String = KwAnyRx
+  private[graft] val FileNameRx = "([^/]+?)(?:\\.[A-Za-z0-9]+)?/?$"
+
+  /** Code-definition symbol extraction (round 5; record shape + taxonomy
+    * + multi-line grammar in round 6) — the grammar-based upgrade of the
+    * line-based [[extract]] stand-in for corpora that carry source code.
+    * Emits the FULL reference `Symbol` record (extractor.rs:23-30):
+    * `(doc_id, name, kind, line, column, is_definition)` with the ten
+    * content kinds (function / method / class / struct / trait /
+    * interface / enum / type / constant / variable; [[extractFileNames]]
+    * adds the synthetic eleventh). `line` is 1-based (graft-wide line
+    * convention; the reference's tree-sitter rows are 0-based — a
+    * documented fixed offset). `column` is the 0-based offset of the
+    * definition's first non-space character on its line (tree-sitter's
+    * node start column — modifiers are part of the node). `is_definition`
+    * is always true: like the reference, extraction only emits
+    * definitions (every extractor.rs arm sets it true).
+    *
+    * Multi-line coverage: the C return-type-on-its-own-line shape
+    * (`static long\nmy_fn(args) {`) is matched via a doc-local `lag`
+    * window (one narrow per-doc sort, no extra scan) and attributed to
+    * the type line at column 0, where tree-sitter starts the
+    * `function_definition` node. Decorated/annotated definitions need no
+    * special casing — the definition line itself still anchors.
+    *
+    * ONE pass over the exploded lines (round-6 web-symbols lesson): every
+    * arm is evaluated into an array-of-structs and exploded once, instead
+    * of one scan per arm. Pure Catalyst — codegen'd, no UDF; patterns
+    * stay inside the RE2 ∩ java.util.regex subset (no lookahead — arm
+    * disambiguation is explicit NOT-matches) so the DuckDB oracle replays
+    * them verbatim. Names lowercase like every extractor here (search
+    * semantics are case-insensitive, engine.rs:1795-1800).
+    */
+  def extractCode(pages: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("ln0")
+    val ln = (col("ln0") + 1).cast("int")
+    val ind = (length(col("ltxt")) - length(ltrim(col("ltxt")))).cast("int")
+    def armStruct(a: CodeArm): Column = {
+      val name = lower(regexp_extract(col("ltxt"), a.rx, 1))
+      val guards = a.notRx.map(r => !col("ltxt").rlike(r))
+        .foldLeft(lit(true))(_ && _)
+      if (!a.onPrevLine)
+        struct(name.as("name"), lit(a.kind).as("kind"), ln.as("line"),
+          ind.as("column"), (name =!= "" && guards).as("ok"))
+      else {
+        // two-line C definition: the name line matches CNameRx, the
+        // PREVIOUS line is a bare type line (and itself no keyword
+        // definition) — symbol attributed to the type line, column 0
+        val prevOk = coalesce(col("prev").rlike(CTypeLineRx), lit(false)) &&
+          coalesce(!col("prev").rlike(KwAnyRx), lit(false))
+        struct(name.as("name"), lit(a.kind).as("kind"),
+          (ln - 1).as("line"), lit(0).cast("int").as("column"),
+          (name =!= "" && guards && prevOk).as("ok"))
+      }
+    }
+    val arms = CodeArms.map(armStruct)
+    pages
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("ln0", "ltxt")))
+      .withColumn("prev", lag("ltxt", 1).over(w))
+      .select(col("doc_id"), explode(array(arms: _*)).as("s"))
+      .where(col("s.ok") && length(col("s.name")) > 2)
+      .select(col("doc_id"), col("s.name").as("name"),
+        col("s.kind").as("kind"), col("s.line").as("line"),
+        col("s.column").as("column"), lit(true).as("is_definition"))
   }
+
+  /** Synthetic per-document FileName symbol — the reference pushes the
+    * file's stem as a `SymbolType::FileName` symbol at line 0 / column 0
+    * (engine.rs:501-509) so path-shaped queries get symbol scoring; web
+    * analog: the stem of the url's last path segment. Like the
+    * reference, these are for path-based search plumbing — symbol SEARCH
+    * filters them out (engine.rs:1868), so they ship as their own
+    * extractor rather than inside [[extractCode]].
+    */
+  def extractFileNames(pages: DataFrame): DataFrame =
+    pages
+      .select(col("doc_id"),
+        lower(regexp_extract(col("url"), FileNameRx, 1)).as("name"),
+        lit("filename").as("kind"), lit(0).cast("int").as("line"),
+        lit(0).cast("int").as("column"), lit(true).as("is_definition"))
+      .where(length(col("name")) > 2)
 
   /** Symbols-only top-k: docs scored by their matching symbols
     * (containment, exact-name weight x2), with the first matching line

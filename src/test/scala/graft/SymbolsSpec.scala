@@ -128,14 +128,14 @@ class SymbolsSpec extends AnyFunSuite {
       "fndef broken").mkString("\n")))    // neither 'fn' nor 'def' anchored
       .toDF("doc_id", "text")
     val got = Symbols.extractCode(code)
-      .as[(Long, String, String, Int)].collect().toSet
+      .as[(Long, String, String, Int, Int, Boolean)].collect().toSet
     assert(got == Set(
-      (11L, "process_batch", "function", 1),
-      (11L, "hash_join", "function", 3),
-      (11L, "doit", "function", 4),
-      (11L, "tablescan", "class", 5),
-      (11L, "rowblock", "class", 6),
-      (11L, "cursor", "variable", 7)))
+      (11L, "process_batch", "function", 1, 0, true),
+      (11L, "hash_join", "function", 3, 0, true),
+      (11L, "doit", "function", 4, 0, true),
+      (11L, "tablescan", "class", 5, 0, true),
+      (11L, "rowblock", "struct", 6, 2, true),
+      (11L, "cursor", "variable", 7, 0, true)))
     // search over the code extraction: containment + exact-name doubling
     val hits = Symbols.search(Symbols.extractCode(code), "hash_join", 10)
       .collect()
@@ -149,6 +149,53 @@ class SymbolsSpec extends AnyFunSuite {
     val indexed = Symbols.searchIndexed(spark, dir, "table", 10)
       .collect().toSeq
     assert(scan == indexed)
+  }
+
+  test("extractCode round 6: full kind taxonomy, method arms (Go receiver / " +
+      "Ruby singleton / typed declaration), two-line C definitions, column") {
+    val code = Seq((21L, Seq(
+      "trait RowLike:",                    // trait (own kind now)
+      "interface Scanner {",               // interface
+      "enum JoinSide {",                   // enum
+      "type RowId = long",                 // type alias
+      "const MAX_ROWS = 9",                // constant (split from variable)
+      "func (s *Shard) lookupRow(k) {",    // Go receiver -> method
+      "def self.from_disk(path)",          // Ruby singleton -> method (not fn 'self')
+      "  public static int rowCount() {",  // typed declaration -> method, col 2
+      "public class Outer(arg) {",         // class wins over the typed-method arm
+      "static long",                       // C return type on its own line...
+      "scan_rows(int n) {",                // ...two-line def, attributed above
+      "int main(int argc) {",              // single-line C definition
+      "int decl_only(int x);",             // prototype (';') -> NOT a definition
+      "annotated_call(foo) {").mkString("\n")))  // prev 'prototype;' not a type line
+      .toDF("doc_id", "text")
+    val got = Symbols.extractCode(code)
+      .as[(Long, String, String, Int, Int, Boolean)].collect().toSet
+    assert(got == Set(
+      (21L, "rowlike", "trait", 1, 0, true),
+      (21L, "scanner", "interface", 2, 0, true),
+      (21L, "joinside", "enum", 3, 0, true),
+      (21L, "rowid", "type", 4, 0, true),
+      (21L, "max_rows", "constant", 5, 0, true),
+      (21L, "lookuprow", "method", 6, 0, true),
+      (21L, "from_disk", "method", 7, 0, true),
+      (21L, "rowcount", "method", 8, 2, true),
+      (21L, "outer", "class", 9, 0, true),
+      (21L, "scan_rows", "function", 10, 0, true),
+      (21L, "main", "function", 12, 0, true)))
+  }
+
+  test("extractFileNames: url stem as a synthetic filename symbol at 0:0") {
+    val pages = Seq(
+      (1L, "https://host.example/a/b/report-2024.html"),
+      (2L, "https://host.example/section/guide/"),   // trailing slash -> segment
+      (3L, "https://host.example/x/ab.txt")          // stem 'ab' too short -> drop
+    ).toDF("doc_id", "url")
+    val got = Symbols.extractFileNames(pages)
+      .as[(Long, String, String, Int, Int, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, "report-2024", "filename", 0, 0, true),
+      (2L, "guide", "filename", 0, 0, true)))
   }
 
   test("the BM25 machinery runs over the name field (symbols-as-index)") {
