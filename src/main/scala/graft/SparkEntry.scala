@@ -396,6 +396,18 @@ object SparkEntry {
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
 
+    "sim_ivf_kpp_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      val q = e.where(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val cents = Similarity.centroidsKpp(e, "vec_id", "embedding", KppList,
+        lloydIters = KppLloyd)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      Similarity.ivfTopK(assigned, "vec_id", "embedding", cents, q, 10, 2,
+        excludeId = Some(0L))
+        .select(col("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
+
     "sim_ivfpq_topk" -> ((s, dir) => {
       val e = embeddings(s, dir)
       val q = e.where(col("vec_id") === 0).select("embedding")
@@ -834,6 +846,9 @@ object SparkEntry {
   private val PqSub = 4
   private val PqCodes = 16
   private val PqRefine = 50
+  /** kpp-IVF gate shape: 8 cells, farthest-point seeds + 2 Lloyd steps. */
+  private val KppList = 8
+  private val KppLloyd = 2
 
   /** Ordered left-fold dot product — bit-identical to Similarity.dotLit's
     * `aggregate` fold (same products, same summation order).
@@ -897,6 +912,76 @@ object SparkEntry {
        |WHERE asn.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0
        |ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id ASC
        |LIMIT 10""".stripMargin
+
+  /** sim_ivf_kpp_topk: full SQL replication of the deterministic
+    * k-means++-analog funnel — greedy farthest-point (Gonzalez) seeding
+    * unrolled as one CTE per seed (seed 0 = smallest vec_id; seed i = the
+    * row whose MAX cosine to seeds 0..i-1 is minimal, ties -> smallest
+    * id — the argmax-distance deterministic variant of kmeans++'s D^2
+    * draw), then [[KppLloyd]] unrolled Lloyd steps (nearest-centroid
+    * assignment, element means, empty cells keep the previous centroid),
+    * then the same probe-2 / exact-cosine top-10 tail as `ivfOracleSql`.
+    * Every fold is the index-ordered `cosSql`, so seed selection is
+    * bit-identical to the driver-side Scala seeding.
+    *
+    * Every CTE is `AS MATERIALIZED`: DuckDB inlines plain CTEs, and the
+    * seed chain references each predecessor (sd7 expands sd0..sd6, each
+    * expanding its own predecessors) — unmaterialized, the plan tree
+    * grows 2^nlist-fold and OOMs an 8 GB instance on 500 rows (measured;
+    * the SQL cousin of the when(...)-reduce expression-duplication trap).
+    * Materialized, the whole funnel runs in <1 s.
+    */
+  private def ivfKppOracleSql: String = {
+    val seedCtes = (1 until KppList).map { i =>
+      val prev = (0 until i).map(j => s"sd$j")
+      val maxCos =
+        if (i == 1) cosSql("smp.v", "sd0.v")
+        else s"greatest(${prev.map(p => cosSql("smp.v", s"$p.v")).mkString(", ")})"
+      val excl = prev.map(p => s"smp.vec_id <> $p.vec_id").mkString(" AND ")
+      s"""sd$i AS MATERIALIZED (SELECT vec_id, v FROM (
+         |  SELECT smp.vec_id, smp.v, row_number() OVER (ORDER BY
+         |    $maxCos ASC, smp.vec_id ASC) AS rn
+         |  FROM smp, ${prev.mkString(", ")} WHERE $excl) WHERE rn = 1)""".stripMargin
+    }
+    val cent0 = (0 until KppList)
+      .map(i => s"SELECT $i AS cid, v AS c FROM sd$i")
+      .mkString("kcent0 AS MATERIALIZED (", "\n  UNION ALL ", ")")
+    val lloydCtes = (1 to KppLloyd).map { t =>
+      s"""kasn$t AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, p.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSql("e.v", "p.c")} DESC, p.cid ASC) AS rn
+         |  FROM e CROSS JOIN kcent${t - 1} p) WHERE rn = 1),
+         |km$t AS MATERIALIZED (SELECT cid, j, sum(x) / count(*) AS sd FROM (
+         |    SELECT a.cid, unnest(range(1, ${EmbDim + 1})) AS j, unnest(e.v) AS x
+         |    FROM e JOIN kasn$t a USING (vec_id)) GROUP BY cid, j),
+         |kc$t AS MATERIALIZED (SELECT cid, list(sd ORDER BY j) AS c FROM km$t GROUP BY cid),
+         |kcent$t AS MATERIALIZED (SELECT p.cid, coalesce(kc$t.c, p.c) AS c
+         |            FROM kcent${t - 1} p LEFT JOIN kc$t ON p.cid = kc$t.cid)""".stripMargin
+    }
+    val fc = s"kcent$KppLloyd"
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |smp AS MATERIALIZED (SELECT vec_id, v FROM e),
+       |sd0 AS MATERIALIZED (SELECT vec_id, v FROM smp ORDER BY vec_id LIMIT 1),
+       |${seedCtes.mkString(",\n")},
+       |$cent0,
+       |${lloydCtes.mkString(",\n")},
+       |q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |fasn AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, p.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${cosSql("e.v", "p.c")} DESC, p.cid ASC) AS rn
+       |  FROM e CROSS JOIN $fc p) WHERE rn = 1),
+       |probe AS MATERIALIZED (SELECT cid FROM (
+       |  SELECT p.cid, row_number() OVER (ORDER BY ${cosSql("p.c", "q.qv")} DESC,
+       |                                   p.cid ASC) AS rn
+       |  FROM $fc p, q) WHERE rn <= 2)
+       |SELECT e.vec_id AS vec_id, round(${cosSql("e.v", "q.qv")}, 4) AS sim
+       |FROM e JOIN fasn USING (vec_id), q
+       |WHERE fasn.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0
+       |ORDER BY ${cosSql("e.v", "q.qv")} DESC, e.vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
 
   /** sim_ivfpq_topk: full replication of the IVF-PQ funnel — vectors
     * unit-normalized, PQ codebooks (pmod(id,16) seed-cluster element
@@ -1026,6 +1111,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracleSql,
     "sim_lsh_neardups" -> lshOracleSql,
     "sim_ivf_topk" -> ivfOracleSql,
+    "sim_ivf_kpp_topk" -> ivfKppOracleSql,
     "sim_ivfpq_topk" -> ivfPqOracleSql,
     // Full replication of Extract.contentSafetyCheck (utils.rs:174-211):
     // (1) binary gate — NUL or >10% control chars in the first 8KB (char

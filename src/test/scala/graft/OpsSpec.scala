@@ -199,6 +199,77 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq.forall(_._1 % 8 == 3))
   }
 
+  test("kpp centroids: farthest-point seeds land one per cluster; " +
+      "seeding is bit-deterministic across partitioning") {
+    // 4 orthogonal clusters in id BLOCKS (cluster = id / 40), so the
+    // pmod(id, 4) seed assignment mixes all four clusters per cell —
+    // exactly the skew regime VERDICT r5 flagged the crude seeds for
+    val dim = 8
+    val data = (0 until 160).map { i =>
+      val c = i / 40
+      val v = Array.fill(dim)(0.0f)
+      v(2 * c) = 1.0f
+      (0 until dim).foreach(d => v(d) += 0.01f * ((i * 31 + d) % 5))
+      (i.toLong, v.toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val seeds = Similarity.centroidsKpp(df, "vec_id", "embedding", 4,
+      lloydIters = 0)
+    // greedy farthest-point spread: the 4 seeds' dominant axes are the 4
+    // distinct cluster axes
+    assert(seeds.map(_._2.zipWithIndex.maxBy(_._1)._2).toSet ==
+      Set(0, 2, 4, 6))
+    // pure seeding (no Lloyd FP sums) is bit-identical at any parallelism
+    val seeds7 = Similarity.centroidsKpp(df.repartition(7), "vec_id",
+      "embedding", 4, lloydIters = 0)
+    assert(seeds == seeds7)
+    // a too-small sample fails loudly instead of degenerating
+    intercept[IllegalArgumentException] {
+      Similarity.centroidsKpp(df, "vec_id", "embedding", 4,
+        lloydIters = 0, sampleEvery = 80L)
+    }
+  }
+
+  test("kpp centroids: nProbe=1 IVF reproduces the exact top-k on skewed " +
+      "clusters where pmod seeding prunes badly") {
+    val dim = 8
+    val data = (0 until 160).map { i =>
+      val c = i / 40
+      val v = Array.fill(dim)(0.0f)
+      v(2 * c) = 1.0f
+      (0 until dim).foreach(d => v(d) += 0.01f * ((i * 31 + d) % 5))
+      (i.toLong, v.toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val q = data(85)._2.map(_.toDouble) // a cluster-2 member
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q, 10, Some(85L))
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+    def recall(cents: Seq[(Int, Seq[Double])]): (Double, Seq[(Long, Double)]) = {
+      val assigned = Similarity.ivfAssign(df, "vec_id", "embedding", cents)
+      val got = Similarity.ivfTopK(assigned, "vec_id", "embedding", cents,
+          q, 10, 1, Some(85L))
+        .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      (got.map(_._1).toSet.intersect(exact.map(_._1).toSet).size / 10.0, got)
+    }
+    val kpp = Similarity.centroidsKpp(df, "vec_id", "embedding", 4,
+      lloydIters = 2)
+    val pmodCents = Similarity.centroids(df, "vec_id", "embedding", 4)
+      .as[(Long, Seq[Double])].collect().toSeq
+      .map { case (c, v) => (c.toInt, v) }.sortBy(_._1)
+    val (kppRecall, kppGot) = recall(kpp)
+    val (pmodRecall, _) = recall(pmodCents)
+    // kpp cells align with the planted clusters: one probed cell holds
+    // the whole answer, and the served rows are the exact tuples
+    assert(kppRecall == 1.0 && kppGot == exact)
+    assert(kppRecall >= pmodRecall)
+    // every cluster maps to exactly one kpp cell, distinct per cluster
+    val cids = Similarity.ivfAssign(df, "vec_id", "embedding", kpp)
+      .select(col("vec_id"), col("cid")).as[(Long, Int)].collect()
+      .groupBy(_._1 / 40).map { case (cl, xs) => (cl, xs.map(_._2).toSet) }
+    assert(cids.values.forall(_.size == 1))
+    assert(cids.values.flatten.toSet.size == 4)
+  }
+
   test("lsh near-dup bucketing finds identical pair") {
     val r = Similarity.embeddingNearDups(vecs, "vec_id", "embedding", 8, 0.99)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
