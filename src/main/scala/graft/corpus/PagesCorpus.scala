@@ -37,7 +37,9 @@ case class Page(
   *     windows-1252 with C1 bytes / DECLARED Shift_JIS and KOI8-R via
   *     in-content meta tags — the round-5 declaration-wins branch — and
   *     UNLABELED KOI8-R / Shift_JIS / windows-1251 rows for the round-6
-  *     deterministic classifier);
+  *     deterministic classifier plus UNLABELED ISO-8859-7 Greek /
+  *     windows-1255 Hebrew / TIS-620 Thai rows for its round-7
+  *     extension);
   *   - a few safety-gate rows (bracket nesting > 500) that
   *     `content_safety_check` must drop.
   */
@@ -172,6 +174,10 @@ object PagesCorpus {
     if (row % 20 == 8) sb.append(Koi8Tail)
     if (row % 20 == 9) sb.append(SjisTail)
     if (row % 20 == 10) sb.append(Win1251Tail)
+    // UNLABELED single-byte script cases (round 7, Extract v6)
+    if (row % 20 == 11) sb.append(GreekTail)
+    if (row % 20 == 12) sb.append(HebrewTail)
+    if (row % 20 == 13) sb.append(ThaiTail)
     sb.toString
   }
 
@@ -212,6 +218,27 @@ object PagesCorpus {
     */
   val Win1251Tail = " \u043d\u043e\u0432\u043e\u0441\u0442\u0438 \u043f\u043e\u0433\u043e\u0434\u0430"
 
+  /** Unlabeled Greek case (row%20==11): ISO-8859-7 lowercase lives in
+    * the SAME byte band as windows-1251 lowercase \u2014 only the v6 rule
+    * order (Greek's strict-decode holes + tonos marker before the
+    * Cyrillic verdict) reaches the right decode. \u03b1\u03bd\u03b1\u03b6\u03ae\u03c4\u03b7\u03c3\u03b7 carries \u03ae,
+    * \u03b5\u03bb\u03bb\u03b7\u03bd\u03b9\u03ba\u03ac carries \u03ac (the tonos markers).
+    */
+  val GreekTail = " \u03b1\u03bd\u03b1\u03b6\u03ae\u03c4\u03b7\u03c3\u03b7 \u03b5\u03bb\u03bb\u03b7\u03bd\u03b9\u03ba\u03ac"
+
+  /** Unlabeled Hebrew case (row%20==12): windows-1255 letters occupy
+    * 0xE0-0xFA \u2014 inside the cp1251 lowercase band; the final-form
+    * placement law is the discriminator (\u05d7\u05d9\u05e4\u05d5\u05e9 \u05e2\u05d1\u05e8\u05d9\u05ea has no mid-word
+    * final forms by construction of the script).
+    */
+  val HebrewTail = " \u05d7\u05d9\u05e4\u05d5\u05e9 \u05e2\u05d1\u05e8\u05d9\u05ea"
+
+  /** Unlabeled Thai case (row%20==13): TIS-620; both words are
+    * mark-free (the tokenizer splits on combining marks) and \u0e40\u0e2d\u0e01\u0e2a\u0e32\u0e23 /
+    * \u0e44\u0e17\u0e22 carry the leading-vowel bigram the v6 rule requires.
+    */
+  val ThaiTail = " \u0e40\u0e2d\u0e01\u0e2a\u0e32\u0e23 \u0e20\u0e32\u0e29\u0e32\u0e44\u0e17\u0e22"
+
   /** Ground-truth EXTRACTED text (what the transcoder must reproduce
     * byte-identically per url). A BOM'd UTF-8 buffer is itself valid
     * UTF-8, so the reference's fast path (utils.rs:22-25) keeps the U+FEFF
@@ -250,6 +277,12 @@ object PagesCorpus {
         t.getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
       case 10 => // UNLABELED windows-1251 (v5 classifier: band 0xE0-0xFF)
         t.getBytes(java.nio.charset.Charset.forName("windows-1251"))
+      case 11 => // UNLABELED Greek (v6: 8859-7 decode holes + tonos marker)
+        t.getBytes(java.nio.charset.Charset.forName("ISO-8859-7"))
+      case 12 => // UNLABELED Hebrew (v6: letter band + final-form law)
+        t.getBytes(java.nio.charset.Charset.forName("windows-1255"))
+      case 13 => // UNLABELED Thai (v6: TIS decode holes + leading vowels)
+        t.getBytes(java.nio.charset.Charset.forName("TIS-620"))
       case _ => t.getBytes(StandardCharsets.UTF_8)
     }
   }

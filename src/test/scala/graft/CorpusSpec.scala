@@ -68,6 +68,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(t5.endsWith(PagesCorpus.Koi8Tail))
   }
 
+  test("round-7 charset rows: unlabeled Greek / Hebrew / Thai decode (explicit)") {
+    def decoded(row: Long): String =
+      Extract.transcodeToUtf8(PagesCorpus.html(PagesCorpus.Seed, row)).get
+    assert(decoded(11).endsWith(PagesCorpus.GreekTail))
+    assert(decoded(12).endsWith(PagesCorpus.HebrewTail))
+    assert(decoded(13).endsWith(PagesCorpus.ThaiTail))
+    // no declaration anywhere — only the v6 classifier reaches these
+    Seq(11L, 12L, 13L).foreach(r =>
+      assert(!PagesCorpus.text(PagesCorpus.Seed, r).contains("meta")))
+  }
+
   test("safety rows fail the gate; all others pass") {
     (0L until n).foreach { r =>
       val safe = Extract.isSafe(PagesCorpus.expectedText(PagesCorpus.Seed, r))

@@ -187,6 +187,52 @@ class ExtractSpec extends AnyFunSuite {
     assert(Extract.transcodeToUtf8(bin).isEmpty)
   }
 
+  test("v6 classifier: unlabeled Greek / Hebrew / Thai decode") {
+    def cs(n: String) = java.nio.charset.Charset.forName(n)
+    // Greek: tonos-accented words (every real polysyllabic word has one)
+    val el = "some ascii body... αναζήτηση ελληνικά"
+    assert(Extract.transcodeToUtf8(el.getBytes(cs("ISO-8859-7"))).contains(el))
+    // Hebrew: unpointed letters, no mid-word final forms (by orthography)
+    val he = "some ascii body... חיפוש עברית"
+    assert(Extract.transcodeToUtf8(he.getBytes(cs("windows-1255"))).contains(he))
+    // Thai: leading-vowel bigrams (เอ / ไท)
+    val th = "some ascii body... เอกสาร ภาษาไทย"
+    assert(Extract.transcodeToUtf8(th.getBytes(cs("TIS-620"))).contains(th))
+  }
+
+  test("v6 rule order: Cyrillic never claimed by the Greek/Hebrew/Thai rules") {
+    def cs(n: String) = java.nio.charset.Charset.forName(n)
+    // cp1251 lowercase lives in the SAME byte band as windows-1255
+    // letters and decodes coherently as ISO-8859-7 — the final-form law
+    // (н 0xED mid-word) and the tonos-marker absence are what reject it
+    val win = "some ascii body... новости погода"
+    assert(Extract.transcodeToUtf8(
+      win.getBytes(cs("windows-1251"))).contains(win))
+    // KOI8-R lowercase: р = 0xD2 is an ISO-8859-7 decode hole
+    val koi = "some ascii body... привет поиск"
+    assert(Extract.transcodeToUtf8(koi.getBytes(cs("KOI8-R"))).contains(koi))
+    // and the reverse: the new tails classify as THEIR script even
+    // though their byte bands overlap the Cyrillic ones (rule order)
+    val he = "some ascii body... חיפוש עברית"
+    val decoded = Extract.transcodeToUtf8(he.getBytes(cs("windows-1255")))
+    assert(decoded.exists(_.contains("חיפוש")))
+  }
+
+  test("v6 SJIS guard: isolated cp1252 punctuation pairs no longer masquerade") {
+    def cs(n: String) = java.nio.charset.Charset.forName(n)
+    // four ISOLATED ƒ-pairs: each (0x83 + letter) parses as a valid SJIS
+    // pair AND strict-decodes to a lone katakana (0x8341 = ア ...) — the
+    // v5 rule (>= 4 pairs + >= 1 kana + coherence) classified pages like
+    // this as SJIS mojibake; the v6 consecutive-Japanese requirement
+    // keeps them on the cp1252 rule
+    val cp = "win ƒA loss ƒB more ƒC text ƒD end"
+    val bytes = cp.getBytes(cs("windows-1252"))
+    assert(Extract.transcodeToUtf8(bytes).contains(cp))
+    // real Japanese runs (>= 2 consecutive) still classify
+    val sj = "some ascii body... テスト 検索漢字"
+    assert(Extract.transcodeToUtf8(sj.getBytes(cs("Shift_JIS"))).contains(sj))
+  }
+
   test("safety gate: clean text passes") {
     assert(Extract.contentSafetyCheck("normal text { with (some) [nesting] }").isEmpty)
   }
