@@ -24,11 +24,38 @@ object Dedup {
 
   /** Marks each row with the canonical (minimum) id of its exact-text
     * group. `is_canonical` = keep-row marker.
+    *
+    * The window partitions by `md5(lower(text))`, NOT by the lowered
+    * text itself (VERDICT r6 #1): at web scale the partition key is
+    * hashed for the Exchange and compared during the in-partition sort,
+    * and doing that on KB-sized strings is pure memory-bus waste when a
+    * 16-byte digest groups identically. Semantics are guarded, not
+    * assumed: every group asserts min == max of the lowered text and
+    * RAISES on an md5 collision (2^-64-ish at any realistic corpus —
+    * but silent wrong dedup is the one failure mode this operator must
+    * never have). The guard rides the same window (two extra string
+    * min/max aggregates, no extra shuffle).
     */
-  def exactByText(df: DataFrame, id: String, text: String): DataFrame = {
-    val w = Window.partitionBy(lower(col(text)))
+  def exactByText(df: DataFrame, id: String, text: String): DataFrame =
+    exactByKey(df, id, text, md5(lower(col(text)).cast("binary")))
+
+  /** [[exactByText]] with an explicit group-key expression — the test
+    * seam for the collision guard (a real md5 collision is not
+    * constructible in a spec; a deliberately coarse key is).
+    */
+  private[graft] def exactByKey(df: DataFrame, id: String, text: String,
+      key: Column): DataFrame = {
+    val w = Window.partitionBy(key)
+    val lo = min(lower(col(text))).over(w)
+    val hi = max(lower(col(text))).over(w)
     df.withColumn("canonical_id", min(col(id)).over(w))
-      .withColumn("is_canonical", col(id) === col("canonical_id"))
+      .withColumn("is_canonical",
+        // <=> : a group of all-null texts must pass the guard, not raise
+        when(lo <=> hi, col(id) === col("canonical_id"))
+          .otherwise(raise_error(concat(
+            lit("digest collision in exactByText: distinct texts share a key ("),
+            substring(lo, 1, 40), lit(" ... vs "), substring(hi, 1, 40),
+            lit(")")))))
   }
 
   /** Token n-gram shingles (distinct) from an already-materialized token

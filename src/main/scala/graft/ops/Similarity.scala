@@ -86,8 +86,29 @@ object Similarity {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Fixed decimal precision applied to every Lloyd-updated centroid
+    * element (ADVICE r6): the group means are floating-point sums whose
+    * summation ORDER differs between Spark's distributed aggregation,
+    * run-to-run task scheduling, and the DuckDB oracle's sum()/count() —
+    * ulp-level centroid differences can flip a nearest-centroid
+    * assignment at a cell boundary and make the served candidate set
+    * nondeterministic. Snapping each mean to 6 decimals (HALF_UP, the
+    * same semantics as Spark's `round` and DuckDB's `round`) absorbs the
+    * sum-order noise as long as the accumulated error stays below 5e-7 —
+    * true at any realistic cluster size/dim here — and both engines then
+    * feed IDENTICAL centroids into the next step. Residual (documented,
+    * not guarded): a mean landing within ulps of a x.xxxxxx5 rounding
+    * boundary can still split; the gates' fixtures keep means away from
+    * boundaries.
+    */
+  val LloydRoundDecimals = 6
+
+  private def roundTo(x: Double, d: Int): Double =
+    BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Element means of an already-assigned frame (`cid` column) — the
-    * Lloyd update step. Returns cid -> mean vector; empty clusters are
+    * Lloyd update step, each element snapped to [[LloydRoundDecimals]]
+    * (see above). Returns cid -> mean vector; empty clusters are
     * simply absent (the caller keeps their previous centroid, the
     * standard empty-cluster rule).
     */
@@ -100,7 +121,8 @@ object Similarity {
       .collect()
       .map { r =>
         val cnt = r.getLong(1).toDouble
-        (r.getInt(0), (0 until dim).map(i => r.getDouble(i + 2) / cnt): Seq[Double])
+        (r.getInt(0), (0 until dim).map(i =>
+          roundTo(r.getDouble(i + 2) / cnt, LloydRoundDecimals)): Seq[Double])
       }.toMap
   }
 
@@ -125,14 +147,29 @@ object Similarity {
     * assignment ([[ivfAssign]] — one codegen'd pass, ties -> smallest
     * cid) + element means (one tiny groupBy collect per step); empty
     * clusters keep their previous centroid. Everything is reproducible:
-    * selection is driver-side over index-ordered folds, and the only
-    * FP-order-sensitive values (the group means) affect cell SHAPE, not
-    * the exactness of served similarities (IVF returns exact cosines of
-    * an approximately-selected candidate set, same contract as
-    * [[ivfTopK]] / [[ivfPqTopK]]).
+    * selection is driver-side over index-ordered folds, and the one
+    * FP-order-sensitive value (the group means) is snapped to
+    * [[LloydRoundDecimals]] decimals after every step (ADVICE r6), so
+    * runs and engines feed identical centroids into each refinement
+    * step; either way IVF returns exact cosines of an
+    * approximately-selected candidate set, same contract as
+    * [[ivfTopK]] / [[ivfPqTopK]].
     */
+  /** Driver-flop budget for the Gonzalez seeding loop (VERDICT r6 #6):
+    * the loop is O(sample * nlist * dim) driver-serial work (incremental
+    * best-so-far maintenance — each new seed costs ONE cosine per sample
+    * point, not one per chosen seed). 10^10 flops ~= tens of seconds of
+    * driver time — past it the caller must raise `sampleEvery` (smaller
+    * sample) or cut `nlist`; at that scale the honest alternative is a
+    * distributed min-distance step (nlist jobs — a different trade, not
+    * silently chosen here). The guard is a require with the actual
+    * numbers in the message, parameterized so specs can exercise it.
+    */
+  val KppSeedFlopBudget = 10000000000L
+
   def centroidsKpp(df: DataFrame, id: String, vecCol: String, nlist: Int,
-      lloydIters: Int = 2, sampleEvery: Long = 1L): Seq[(Int, Seq[Double])] = {
+      lloydIters: Int = 2, sampleEvery: Long = 1L,
+      seedFlopBudget: Long = KppSeedFlopBudget): Seq[(Int, Seq[Double])] = {
     require(sampleEvery >= 1, "sampleEvery must be >= 1")
     val sample = df
       .where(pmod(col(id), lit(sampleEvery)) === 0)
@@ -147,23 +184,37 @@ object Similarity {
     require(sample.length >= nlist,
       s"sample (${sample.length}) smaller than nlist ($nlist)")
     val dim = sample.head._2.length
+    val seedFlops = sample.length.toLong * nlist.toLong * dim.toLong
+    require(seedFlops <= seedFlopBudget,
+      s"kpp seeding cost sample(${sample.length}) x nlist($nlist) x " +
+        s"dim($dim) = $seedFlops driver flops exceeds the budget " +
+        s"($seedFlopBudget) — raise sampleEvery or lower nlist " +
+        "(scaladoc: KppSeedFlopBudget)")
     val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
     val chosenIds = scala.collection.mutable.Set(sample.head._1)
+    // incremental Gonzalez: maxCos(i) = max cosine of sample(i) to the
+    // chosen set so far; adding a seed updates it with ONE cosine per
+    // point (max over a set is order-free, so this is bit-identical to
+    // recomputing against all chosen seeds — the round-6 shape did, at
+    // O(nlist) times the flops)
+    val maxCos = Array.fill(sample.length)(Double.MinValue)
+    var lastAdded = sample.head
     while (chosen.size < nlist) {
-      // farthest point: minimal max-cosine to the chosen seeds
       var best: (Long, IndexedSeq[Double]) = null
       var bestKey = (Double.MaxValue, Long.MaxValue)
-      sample.foreach { case s @ (vid, v) =>
-        if (!chosenIds.contains(vid)) {
-          var maxCos = Double.MinValue
-          chosen.foreach { case (_, sv) =>
-            val c = cosSeq(v, sv); if (c > maxCos) maxCos = c
-          }
-          val key = (maxCos, vid)
+      var si = 0
+      while (si < sample.length) {
+        val s = sample(si)
+        if (!chosenIds.contains(s._1)) {
+          val c = cosSeq(s._2, lastAdded._2)
+          if (c > maxCos(si)) maxCos(si) = c
+          val key = (maxCos(si), s._1)
           if (Ordering[(Double, Long)].lt(key, bestKey)) { bestKey = key; best = s }
         }
+        si += 1
       }
       chosen += best; chosenIds += best._1
+      lastAdded = best
     }
     var cents: Seq[(Int, Seq[Double])] =
       chosen.toSeq.zipWithIndex.map { case ((_, v), i) => (i, v: Seq[Double]) }
