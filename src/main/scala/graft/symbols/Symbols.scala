@@ -217,9 +217,15 @@ object Symbols {
       }
     }
     val arms = CodeArms.map(armStruct)
+    // split on \r?\n, NOT \n (ADVICE r6): several arms are $-anchored,
+    // and java.util.regex `$` (no MULTILINE) matches BEFORE a final \r
+    // while RE2/DuckDB `$` does not — lines split on bare \n keep the
+    // \r on CRLF content and the two engines diverge on every C-style
+    // arm. Splitting both engines on \r?\n (the oracle twin mirrors
+    // this) removes the terminator from the matched text entirely.
     pages
       .select(col("doc_id"),
-        posexplode(split(col("text"), "\n")).as(Seq("ln0", "ltxt")))
+        posexplode(split(col("text"), "\r?\n")).as(Seq("ln0", "ltxt")))
       .withColumn("prev", lag("ltxt", 1).over(w))
       .select(col("doc_id"), explode(array(arms: _*)).as("s"))
       .where(col("s.ok") && length(col("s.name")) > 2)

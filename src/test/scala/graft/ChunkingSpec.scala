@@ -54,6 +54,56 @@ class ChunkingSpec extends AnyFunSuite {
     assert(ch.length == 1 && ch.head.getAs[Long]("n_lines") == 1L)
   }
 
+  test("symbol chunks: typed per the reference arm, 50-line cap, 1-based") {
+    // chunking.rs:57-96: one chunk per symbol, [line, line+49] capped at
+    // EOF, Function|Method -> function, Class|Type -> class, _ -> module
+    val body = (1 to 60).map(i => s"  body$i").mkString("\n")
+    val text = s"def alpha_fn():\n$body\nclass beta_cls:\n  x = 1\nconst gamma_c = 2"
+    val pages = Seq((1L, text)).toDF("doc_id", "text")
+    val syms = graft.symbols.Symbols.extractCode(pages)
+    val got = Chunking.symbolChunks(pages, syms)
+      .select("name", "chunk_type", "start_line", "end_line", "chunk_text")
+      .as[(String, String, Int, Int, String)].collect().sortBy(_._3)
+    val nLines = text.split("\n", -1).length // 64
+    // def on line 1: capped window [1, 50]
+    assert(got(0) == (("alpha_fn", "function", 1, 50,
+      text.split("\n", -1).slice(0, 50).mkString("\n"))))
+    // class on line 62: short trailing window [62, 64]
+    assert(got(1)._1 == "beta_cls" && got(1)._2 == "class" &&
+      got(1)._3 == 62 && got(1)._4 == nLines)
+    // const -> module type
+    assert(got(2)._1 == "gamma_c" && got(2)._2 == "module" &&
+      got(2)._3 == 64 && got(2)._4 == 64)
+  }
+
+  test("typedChunks dispatch: symbol docs typed, symbol-less docs fixed") {
+    val codey = (2L, "def foo_fn():\n  return 1\nplain line")
+    val prose = (3L, (0 until 10).map(i => s"prose line$i").mkString("\n"))
+    val pages = Seq(codey, prose).toDF("doc_id", "text")
+    val syms = graft.symbols.Symbols.extractCode(pages)
+    val got = Chunking.typedChunks(pages, syms, sizeLines = 8, overlap = 2)
+      .select("doc_id", "name", "chunk_type", "start_line", "end_line")
+      .as[(Long, Option[String], String, Int, Int)].collect()
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(2L).forall(_._3 == "function"))
+    assert(byDoc(2L).forall(_._2.contains("foo_fn")))
+    // prose doc: fixed windows, 1-based inclusive lines, null name
+    assert(byDoc(3L).forall(r => r._3 == "fixed" && r._2.isEmpty))
+    assert(byDoc(3L).map(r => (r._4, r._5)).toSet == Set((1, 8), (7, 10)))
+  }
+
+  test("CRLF content chunks identically to LF (reference lines() strips \\r)") {
+    val lf = Seq((1L, (0 until 12).map(i => s"l$i").mkString("\n")))
+      .toDF("doc_id", "text")
+    val crlf = Seq((1L, (0 until 12).map(i => s"l$i").mkString("\r\n")))
+      .toDF("doc_id", "text")
+    val a = Chunking.chunks(lf, 8, 2).select("chunk", "chunk_text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val b = Chunking.chunks(crlf, 8, 2).select("chunk", "chunk_text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("chunks feed the BM25 stack as retrieval units (chunk-level search)") {
     // a needle on line 12 of doc 7 must surface exactly the chunks whose
     // window covers line 12 (size=8 step=6: chunks 1 and 2)

@@ -185,6 +185,27 @@ class SymbolsSpec extends AnyFunSuite {
       (21L, "main", "function", 12, 0, true)))
   }
 
+  test("extractCode round 7: CRLF content extracts exactly like LF (ADVICE r6)") {
+    // the $-anchored C arms diverged on CRLF before the \r?\n split:
+    // java.util.regex `$` matches before a trailing \r, RE2 does not —
+    // lines must simply never carry the \r
+    val body = Seq(
+      "static long",
+      "scan_rows(int n) {",
+      "int main(int argc) {",
+      "def alpha_fn():")
+    val lf = Seq((1L, body.mkString("\n"))).toDF("doc_id", "text")
+    val crlf = Seq((1L, body.mkString("\r\n"))).toDF("doc_id", "text")
+    val a = Symbols.extractCode(lf)
+      .as[(Long, String, String, Int, Int, Boolean)].collect().toSet
+    val b = Symbols.extractCode(crlf)
+      .as[(Long, String, String, Int, Int, Boolean)].collect().toSet
+    assert(a == b)
+    assert(a.map(x => (x._2, x._3, x._4)) == Set(
+      ("scan_rows", "function", 1), ("main", "function", 3),
+      ("alpha_fn", "function", 4)))
+  }
+
   test("extractFileNames: url stem as a synthetic filename symbol at 0:0") {
     val pages = Seq(
       (1L, "https://host.example/a/b/report-2024.html"),
