@@ -581,6 +581,49 @@ object RegexQuery {
     */
   val MaxBatchLiteralTermIds = 100000
 
+  /** The ONE shared postings pass of [[searchBatch]] (split out so the
+    * plan audit — PLANS.md plan 15 — explains the exact serving plan):
+    * pushed In(term_id) over the union of every query's ids, a broadcast
+    * (term_id -> qi, bi, req, rk) mapping replayed per query/branch, one
+    * aggregation computing BOTH the conjunctive countDistinct(req) merge
+    * and (for ranked rows, rk=true) the BM25 score via the SAME
+    * canonical ascending-term_id fold as Bm25Query.scoredNaive
+    * (sort_array over (term_id, impact) structs, left fold from 0.0;
+    * accelerated rows contribute no structs — collect_list drops the
+    * null the when() yields) — for a ranked query the per-(qi, doc)
+    * group holds exactly the rows the single path's per-doc group holds,
+    * so the fold is bit-identical. Output: (qi, doc_id, score), capped
+    * per query at [[MaxPushedVerifyDocs]]+1 by a row_number window.
+    */
+  private[graft] def batchCandidatesDf(index: BuiltIndex,
+      mapRows: IndexedSeq[(Long, Int, Int, Int, Boolean)],
+      needRows: IndexedSeq[(Int, Int, Int)]): DataFrame = {
+    val spark = index.spark
+    import spark.implicits._
+    val allIds = mapRows.map(_._1).distinct
+    val mapDf = spark.createDataset(mapRows)
+      .toDF("term_id", "qi", "bi", "req", "rk")
+    val needDf = spark.createDataset(needRows).toDF("qi", "bi", "need")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qi").orderBy(col("doc_id").asc)
+    index.postings
+      .where(col("term_id").isin(allIds: _*))
+      .join(broadcast(mapDf), Seq("term_id"))
+      .groupBy("qi", "bi", "doc_id")
+      .agg(countDistinct(col("req")).as("nreq"),
+        aggregate(
+          sort_array(collect_list(when(col("rk"),
+            struct(col("term_id"), col("impact"))))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("impact")).as("score"))
+      .join(broadcast(needDf), Seq("qi", "bi"))
+      .where(col("nreq") === col("need"))
+      .select("qi", "doc_id", "score").distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= MaxPushedVerifyDocs + 1)
+      .select("qi", "doc_id", "score")
+  }
+
   /** Batched regex serving: B patterns answered with SHARED jobs —
     * regex was the one class still paying its full single-query cost
     * (p50 ~2.6 s), and the reference's load mix is 5% regex
@@ -588,18 +631,24 @@ object RegexQuery {
     * BIT-IDENTICAL to [[search]] (RegexBatchSpec).
     *
     * Job sharing, by query class (classes analyzed on the driver):
-    *   - RANKED (one branch, all literals complete terms): per-query
-    *     (doc_id, score) collect via the SAME pushed scoredNaive job as
-    *     the single path (cheap: In(term_id) prunes postings row groups),
-    *     then the verify rides the shared leg union below.
+    *   - RANKED (one branch, all literals complete terms): terms resolve
+    *     against the driver-resident dictionary (zero-job in serving
+    *     mode), then the class RIDES THE SHARED POSTINGS PASS below
+    *     (round 7 — previously one scoredNaive collect job per ranked
+    *     pattern): its rows are flagged in the broadcast mapping and the
+    *     per-(qi, doc) BM25 score is replayed inside the one aggregation
+    *     by the SAME canonical ascending-term_id fold scoredNaive uses,
+    *     so scores are bit-identical to the single path. The verify
+    *     rides the shared leg union below.
     *   - ACCELERATED (literal branches with open sides): ONE postings
     *     pass answers every query — each literal's dictionary term_ids
     *     collect (capped at [[MaxBatchLiteralTermIds]]), a broadcast
-    *     (term_id -> qi, branch, req) mapping replays the per-branch
+    *     (term_id -> qi, branch, req, rk) mapping replays the per-branch
     *     conjunctive countDistinct merge per query, and the pushed
-    *     In(term_id) over the UNION of all queries' ids prunes the one
-    *     scan. Per-query candidates cap at [[MaxPushedVerifyDocs]]
-    *     (row_number window); over-cap queries fall back.
+    *     In(term_id) over the UNION of all queries' ids (both classes)
+    *     prunes the one scan. Per-query candidates cap at
+    *     [[MaxPushedVerifyDocs]] (row_number window); over-cap queries
+    *     fall back.
     *   - VERIFY for both classes: union of per-query PRUNED content
     *     scans (In(doc_id) pushed below the regexp filter, like the
     *     single path / lines batch), CHUNKED so the driver collect stays
@@ -632,26 +681,27 @@ object RegexQuery {
       else fullscan += qi
     }
 
-    // scores per ranked query (null marks "fell back / empty")
+    // ---- ranked class: driver-side term analysis only (round 7 — the
+    // round-6 shape paid one scoredNaive collect job PER ranked pattern,
+    // the exact per-query driver-job floor the batch exists to
+    // amortize; ranked terms now ride the SAME shared postings pass as
+    // the accelerated class, with the per-(qi, doc) score replayed by
+    // the canonical ascending-term_id fold scoredNaive uses, so scores
+    // stay bit-identical to the single path) ----
     val rankedPairs = scala.collection.mutable.Map.empty[Int, Array[(Long, Double)]]
+    final case class RankedPlan(qi: Int, terms: Vector[QueryTerm])
+    val rankedLive = scala.collection.mutable.ArrayBuffer.empty[RankedPlan]
     ranked.foreach { pl =>
-      Bm25Query.scoredNaive(index,
-        pl.branches.head.map(_.text).mkString(" "), conjunctive = true) match {
-        case None => out(pl.qi) = Vector.empty // literal not in corpus
-        case Some(scored) =>
-          val pairs = scored.select("doc_id", "score")
-            .limit(MaxPushedVerifyDocs + 1)
-            .collect().map(r => (r.getLong(0), r.getDouble(1)))
-          if (pairs.length > MaxPushedVerifyDocs)
-            out(pl.qi) = search(index, pagesText, patterns(pl.qi), kk)
-              .collect().toVector
-          else rankedPairs(pl.qi) = pairs
-      }
+      val a = Bm25Query.analyze(index,
+        pl.branches.head.map(_.text).mkString(" "))
+      if (a.terms.isEmpty || !a.allResolved)
+        out(pl.qi) = Vector.empty // literal not in corpus (single path: None)
+      else rankedLive += RankedPlan(pl.qi, a.terms)
     }
 
-    // ---- accelerated class: one shared postings pass ----
+    // ---- shared postings pass: accelerated + ranked classes ----
     val accelIds = scala.collection.mutable.Map.empty[Int, Array[Long]]
-    if (accel.nonEmpty) {
+    if (accel.nonEmpty || rankedLive.nonEmpty) {
       // resolve every literal's term_ids (tiny pruned dictionary jobs;
       // exact literals batch into ONE In(term) scan)
       val exactTexts = accel.flatMap(_.branches).flatten
@@ -681,49 +731,51 @@ object RegexQuery {
         out(qi) = search(index, pagesText, patterns(qi), kk).collect().toVector
       }
       val live = accel.filterNot(pl => overCap(pl.qi))
-      // mapping (term_id, qi, branch, req) for branches where EVERY
+      // mapping (term_id, qi, branch, req, rk) for branches where EVERY
       // literal resolved (a branch with an unresolvable literal yields
-      // no candidates in the single path — skip it here the same way)
+      // no candidates in the single path — skip it here the same way);
+      // rk marks ranked-class rows, whose (term_id, impact) structs feed
+      // the score fold below (accelerated rows contribute no structs —
+      // collect_list drops the null the when() yields)
       val mapRows = live.flatMap { pl =>
         pl.branches.zipWithIndex.flatMap { case (br, bi) =>
           val perLit = br.map(idsOf)
           if (perLit.exists(_.isEmpty)) Nil
           else perLit.zipWithIndex.flatMap { case (ids, req) =>
-            ids.map(id => (id, pl.qi, bi, req))
+            ids.map(id => (id, pl.qi, bi, req, false))
           }
+        }
+      } ++ rankedLive.flatMap { rp =>
+        rp.terms.zipWithIndex.map { case (t, req) =>
+          (t.term_id, rp.qi, 0, req, true)
         }
       }
       if (mapRows.nonEmpty) {
         val needRows = live.flatMap { pl =>
           pl.branches.zipWithIndex.map { case (br, bi) => (pl.qi, bi, br.size) }
-        }
-        val allIds = mapRows.map(_._1).distinct
-        val mapDf = spark.createDataset(mapRows.toIndexedSeq)
-          .toDF("term_id", "qi", "bi", "req")
-        val needDf = spark.createDataset(needRows.toIndexedSeq)
-          .toDF("qi", "bi", "need")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qi").orderBy(col("doc_id").asc)
-        val rows = index.postings
-          .where(col("term_id").isin(allIds.toIndexedSeq: _*))
-          .join(broadcast(mapDf), Seq("term_id"))
-          .groupBy("qi", "bi", "doc_id")
-          .agg(countDistinct(col("req")).as("nreq"))
-          .join(broadcast(needDf), Seq("qi", "bi"))
-          .where(col("nreq") === col("need"))
-          .select("qi", "doc_id").distinct()
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= MaxPushedVerifyDocs + 1)
-          .select("qi", "doc_id").as[(Int, Long)].collect()
+        } ++ rankedLive.map(rp => (rp.qi, 0, rp.terms.size))
+        val rows = batchCandidatesDf(index, mapRows.toIndexedSeq,
+          needRows.toIndexedSeq).as[(Int, Long, Double)].collect()
         val byQ = rows.groupBy(_._1)
         live.foreach { pl =>
-          val ids = byQ.getOrElse(pl.qi, Array.empty[(Int, Long)]).map(_._2)
+          val ids = byQ.getOrElse(pl.qi, Array.empty[(Int, Long, Double)]).map(_._2)
           if (ids.length > MaxPushedVerifyDocs)
             out(pl.qi) = search(index, pagesText, patterns(pl.qi), kk)
               .collect().toVector
           else accelIds(pl.qi) = ids.sorted
         }
-      } else live.foreach(pl => accelIds(pl.qi) = Array.empty)
+        rankedLive.foreach { rp =>
+          val pairs = byQ.getOrElse(rp.qi, Array.empty[(Int, Long, Double)])
+            .map(r => (r._2, r._3))
+          if (pairs.length > MaxPushedVerifyDocs)
+            out(rp.qi) = search(index, pagesText, patterns(rp.qi), kk)
+              .collect().toVector
+          else rankedPairs(rp.qi) = pairs
+        }
+      } else {
+        live.foreach(pl => accelIds(pl.qi) = Array.empty)
+        rankedLive.foreach(rp => rankedPairs(rp.qi) = Array.empty)
+      }
     }
 
     // ---- verify: chunked union of per-query pruned scans ----

@@ -175,6 +175,27 @@ object QueryBench {
     println(f"[loadtest:batched_regex] queries=${rq.size} rounds=$rounds " +
       f"best_wall=${rBest}%.0fms amortized=${rBest / rq.size}%.1fms/query " +
       f"qps=${rq.size / (rBest / 1000.0)}%.1f")
+
+    // RANKED-heavy regex mix (round 7): bothBound literal patterns now
+    // ride the SAME shared postings pass (previously one scoredNaive
+    // collect job per ranked pattern); the single-path sum is printed
+    // alongside so the amortization is visible in one row
+    val kq = (0 until 10).map(i => s" ${PagesCorpus.vocab(40 + i)} ")
+    graft.query.RegexQuery.searchBatch(idx, pages, kq, 10) // warm
+    kq.foreach(p => graft.query.RegexQuery.search(idx, pages, p, 10).collect())
+    val kt = (0 until rounds).map { _ =>
+      val t0 = System.nanoTime()
+      graft.query.RegexQuery.searchBatch(idx, pages, kq, 10)
+      (System.nanoTime() - t0) / 1e6
+    }
+    val st = (0 until rounds).map { _ =>
+      val t0 = System.nanoTime()
+      kq.foreach(p => graft.query.RegexQuery.search(idx, pages, p, 10).collect())
+      (System.nanoTime() - t0) / 1e6
+    }
+    println(f"[loadtest:batched_regex_ranked] queries=${kq.size} rounds=$rounds " +
+      f"best_wall=${kt.min}%.0fms amortized=${kt.min / kq.size}%.1fms/query " +
+      f"single_path_sum=${st.min}%.0fms speedup=${st.min / kt.min}%.1fx")
     spark.stop()
     // ~750 MB of per-run scratch; leaked copies filled /tmp in round 5
     ScalingBench.deleteRecursively(dir)
