@@ -64,6 +64,7 @@ object Bench {
     // text analysis
     "txt_quality" -> "text",
     "chunk_split" -> "text",
+    "chunk_typed" -> "text",
     "txt_langid" -> "text",
     "txt_tokens_bpe" -> "text",
     "s5_safety_filter" -> "text",
@@ -91,6 +92,33 @@ object Bench {
       case c => c.toString
     } + "\""
 
+  /** Core count of the bracketing window probes: 8 is the host's
+    * "binding" level (its persisted best-ever baseline exists and its
+    * readings detected every degraded regime rounds 4-6 caught).
+    */
+  val ProbeCores = 8
+
+  /** Bracketing window-certification probes (round 7, VERDICT r6 #2):
+    * the round-6 bench was captured in a host window the same day's
+    * scaling probes showed was degraded (±50% swings), and nothing in
+    * the artifact said so — `contended` only certifies against sibling
+    * bench JVMs, not host neighbors. The same pinned CPU/memory probe
+    * children ScalingBench uses now run BEFORE and AFTER the bench,
+    * their ratios to the persisted best-ever baseline
+    * (BENCH/probe_baseline.json) are stamped into the JSON, and
+    * `window_clean` applies the scaling gate tolerances (cpu 1.10 /
+    * mem 1.25) to the WORSE bracket of each kind. No baseline on disk
+    * => probes are skipped and `window_clean` is null (unknown), never
+    * a false "clean".
+    */
+  private def probePair(): Option[(Double, Double)] =
+    try Some(ScalingBench.spawnProbe(ProbeCores))
+    catch {
+      case e: Exception =>
+        System.err.println(s"[bench-probe] probe failed: ${e.getMessage}")
+        None
+    }
+
   def main(args: Array[String]): Unit = {
     // hygiene gate (round 6): never time against a live pinned
     // ScalingBench — wait for it to drain; if it won't, warn loudly and
@@ -100,6 +128,10 @@ object Bench {
       System.err.println("[bench-guard] WARNING: proceeding with a live " +
         "ScalingBench — this bench run is CONTENDED and its timings are " +
         "not comparable to clean-window rounds")
+    val baseline = ScalingBench.loadBaseline()
+    val haveBase = baseline.contains(s"cpu@$ProbeCores") &&
+      baseline.contains(s"mem@$ProbeCores")
+    val pre = if (haveBase && clear) probePair() else None
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -143,7 +175,30 @@ object Bench {
     // "failed" rides in the headline so a cross-round total comparison
     // cannot mistake a dropped (broken) query for a speedup
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":${errors.size},"contended":${!clear},"queries":$qs,"classes":$cs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
+
+    // post-bracket probe + window verdict (see probePair scaladoc)
+    val post = if (haveBase && clear) probePair() else None
+    val (probesJson, windowClean) = (pre, post) match {
+      case (Some((pc, pm)), Some((qc, qm))) =>
+        val bc = baseline(s"cpu@$ProbeCores"); val bm = baseline(s"mem@$ProbeCores")
+        val cpuRatio = math.max(pc, qc) / bc
+        val memRatio = math.max(pm, qm) / bm
+        val cleanV = cpuRatio <= ScalingBench.CpuTolerance &&
+          memRatio <= ScalingBench.MemTolerance
+        // a better-than-best probe updates the persisted host baseline
+        // (one source of truth with the scaling protocol)
+        val improved = math.min(pc, qc) < bc || math.min(pm, qm) < bm
+        if (improved) {
+          baseline(s"cpu@$ProbeCores") = math.min(bc, math.min(pc, qc))
+          baseline(s"mem@$ProbeCores") = math.min(bm, math.min(pm, qm))
+          try ScalingBench.saveBaseline(baseline)
+          catch { case _: Exception => () }
+        }
+        (f"""{"pre_cpu@$ProbeCores":$pc%.3f,"pre_mem@$ProbeCores":$pm%.3f,"post_cpu@$ProbeCores":$qc%.3f,"post_mem@$ProbeCores":$qm%.3f,"base_cpu@$ProbeCores":$bc%.3f,"base_mem@$ProbeCores":$bm%.3f,"cpu_ratio":$cpuRatio%.3f,"mem_ratio":$memRatio%.3f}""",
+          cleanV.toString)
+      case _ => ("null", "null")
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":${errors.size},"contended":${!clear},"window_clean":$windowClean,"probes":$probesJson,"queries":$qs,"classes":$cs,"errors":$es,"sf":"$sfDir"}""")
   }
 }

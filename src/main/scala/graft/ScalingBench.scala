@@ -288,15 +288,15 @@ object ScalingBench {
     *    window, residual sub-tolerance contention hits both levels alike
     *    and roughly preserves the ratio.
     */
-  private val CpuTolerance = 1.10
-  private val MemTolerance = 1.25
+  private[graft] val CpuTolerance = 1.10
+  private[graft] val MemTolerance = 1.25
 
   /** Identifies the MEASURED pipeline version: ledgered replications are
     * only comparable (and only accumulate toward the gate) while the
     * build/query code under measurement is unchanged. Bump on any change
     * that could move the build's byte/compute profile.
     */
-  private val WorkloadVersion = "r6-extractV5"
+  private val WorkloadVersion = "r7-extractV6"
 
   /** Best-ever probe seconds per (kind, cores), persisted across
     * invocations — the host's demonstrated clean capability. Merged with
@@ -304,7 +304,7 @@ object ScalingBench {
     */
   private val BaselinePath = "BENCH/probe_baseline.json"
 
-  private def loadBaseline(): scala.collection.mutable.Map[String, Double] = {
+  private[graft] def loadBaseline(): scala.collection.mutable.Map[String, Double] = {
     val m = scala.collection.mutable.Map.empty[String, Double]
     val p = Paths.get(BaselinePath)
     if (Files.exists(p)) {
@@ -316,7 +316,7 @@ object ScalingBench {
     m
   }
 
-  private def saveBaseline(m: scala.collection.Map[String, Double]): Unit = {
+  private[graft] def saveBaseline(m: scala.collection.Map[String, Double]): Unit = {
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get(BaselinePath),
       m.toSeq.sorted.map { case (k, v) => f""""$k": $v%.3f""" }
@@ -368,6 +368,31 @@ object ScalingBench {
       java.nio.file.StandardOpenOption.APPEND)
   }
 
+  /** Invocation LIFECYCLE rows (round 7): the round-6 overnight
+    * invocation was killed externally ~1 min after launch (its parent
+    * session ended and reaped it) and left NOTHING — no ledger row, no
+    * error — so its absence read as "never ran" instead of "killed at
+    * phase X". Every invocation now appends `start` / `hb` (one per
+    * window pre-poll, carrying the probe readings) / `rep-start` /
+    * `rep-fail` / `end` event rows, plus an `abort` row from a shutdown
+    * hook on any non-normal exit the JVM still gets to see (SIGTERM;
+    * a SIGKILL leaves the started-but-not-ended row trail as evidence).
+    * [[ledgerLoad]] ignores event rows by construction (its data-row
+    * regex requires the `workload` key first).
+    */
+  private[graft] def ledgerEvent(event: String, inv: Int, n: Int,
+      nDocs: Long, detail: String = "", path: String = LedgerPath): Unit = {
+    val parent = Paths.get(path).toAbsolutePath.getParent
+    if (parent != null) Files.createDirectories(parent)
+    val ts = java.time.Instant.now().toString
+    val d = detail.replace("\\", "\\\\").replace("\"", "\\\"")
+    val line =
+      s"""{"event":"$event","workload":"$WorkloadVersion","n":$n,"nDocs":$nDocs,"inv":$inv,"ts":"$ts","detail":"$d"}""" + "\n"
+    Files.write(Paths.get(path), line.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
   private val RunRe =
     """\[(\d+),([0-9.]+),([0-9.]+),([0-9.]+),([0-9.]+),([0-9.]+),([0-9.]+),"([0-9a-f]+)"\]""".r
 
@@ -408,7 +433,7 @@ object ScalingBench {
     } finally spark.stop()
   }
 
-  private def spawnProbe(cores: Int): (Double, Double) = {
+  private[graft] def spawnProbe(cores: Int): (Double, Double) = {
     val outFile = Files.createTempFile("graft-scale-probe", ".txt").toString
     val java = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
@@ -438,7 +463,8 @@ object ScalingBench {
     * replications from being burned into known storms).
     */
   private def awaitCleanWindow(cores: Int,
-      base: scala.collection.Map[String, Double], maxPolls: Int): Boolean = {
+      base: scala.collection.Map[String, Double], maxPolls: Int,
+      onPoll: (Int, Double, Double, Boolean) => Unit = (_, _, _, _) => ()): Boolean = {
     // the pre-poll child is a COLD JVM (no warm-up build before its
     // probes, unlike the rep children), which biases its cpu reading
     // ~10-15% high; the filter therefore gets a slack factor over the
@@ -453,6 +479,7 @@ object ScalingBench {
       println(f"[scaling] pre-poll $polls: cpu@$cores=$c%.2f " +
         f"(${c / base(s"cpu@$cores")}%.2f) mem@$cores=$m%.2f " +
         f"(${m / base(s"mem@$cores")}%.2f) clean=${cOk && mOk}")
+      onPoll(polls, c, m, cOk && mOk)
       if (cOk && mOk) return true
       polls += 1
       Thread.sleep(45000)
@@ -503,16 +530,34 @@ object ScalingBench {
       println(s"[scaling] ledger: ${prior.size} prior replications " +
         s"($WorkloadVersion, n=$n, docs=$nDocs), ${ci.size} clean")
     }
+    // lifecycle trail (see ledgerEvent): start row first, abort row from
+    // a shutdown hook unless the invocation ends normally
+    ledgerEvent("start", invOrdinal, n, nDocs,
+      s"prior=${prior.size} targetClean=$targetClean maxReps=$maxReps")
+    @volatile var ended = false
+    @volatile var phase = "init"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!ended)
+        try ledgerEvent("abort", invOrdinal, n, nDocs, s"phase=$phase")
+        catch { case _: Exception => () }
+    }, "graft-scaling-ledger-abort"))
     var newReps = 0
     while ((reps.isEmpty ||
         cleanIndices(reps.toSeq, base).size < targetClean) &&
         newReps < maxReps) {
-      awaitCleanWindow(4 * n, base, maxPolls)
+      phase = s"pre-poll (before rep attempt ${newReps + 1})"
+      awaitCleanWindow(4 * n, base, maxPolls, (p, c, m, ok) =>
+        ledgerEvent("hb", invOrdinal, n, nDocs,
+          f"pre-poll $p cpu@${4 * n}=$c%.2f mem@${4 * n}=$m%.2f clean=$ok"))
       newReps += 1
       // a failed replication (child killed by the host) counts toward the
       // cap — bounding unattended runtime — but not toward the table
       try {
-        val r = Rep(spawnPinned(n, nDocs), spawnPinned(4 * n, nDocs))
+        phase = s"rep $newReps level $n"
+        ledgerEvent("rep-start", invOrdinal, n, nDocs, s"attempt $newReps")
+        val a = spawnPinned(n, nDocs)
+        phase = s"rep $newReps level ${4 * n}"
+        val r = Rep(a, spawnPinned(4 * n, nDocs))
         reps += r; invs += invOrdinal
         ledgerAppend(r, n, nDocs, invOrdinal)
         mergeBaseline(base, Seq(r))
@@ -521,10 +566,16 @@ object ScalingBench {
           f"clean=${ci.size}/${reps.size} (clean reps: ${ci.map(_ + 1).mkString(",")})")
       } catch {
         case e: Exception =>
+          ledgerEvent("rep-fail", invOrdinal, n, nDocs,
+            s"attempt $newReps: ${e.getMessage}")
           println(s"[scaling] replication attempt $newReps failed: ${e.getMessage}")
       }
     }
+    phase = "report"
     saveBaseline(base)
+    ledgerEvent("end", invOrdinal, n, nDocs,
+      s"reps=${reps.size} clean=${cleanIndices(reps.toSeq, base).size}")
+    ended = true
     if (reps.isEmpty) {
       println("[scaling] no completed replications; nothing to report")
       return

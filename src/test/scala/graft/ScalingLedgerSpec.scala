@@ -77,6 +77,31 @@ class ScalingLedgerSpec extends AnyFunSuite {
     Files.deleteIfExists(Paths.get(path))
   }
 
+  test("lifecycle event rows coexist with data rows (round 7): loaded " +
+      "replications unchanged, events written with escaping") {
+    val path = Files.createTempFile("graft-ledger", ".jsonl").toString
+    Files.deleteIfExists(Paths.get(path))
+    ScalingBench.ledgerEvent("start", 5, 2, 200000L,
+      "prior=21 targetClean=3 maxReps=55", path = path)
+    ScalingBench.ledgerAppend(rep(2, 0.83), 2, 200000L, inv = 5, path = path)
+    ScalingBench.ledgerEvent("hb", 5, 2, 200000L,
+      "pre-poll 0 cpu@8=1.45 clean=false", path = path)
+    ScalingBench.ledgerEvent("abort", 5, 2, 200000L,
+      "phase=rep 2 level 8 \"quoted\" \\ backslash", path = path)
+    // data rows load exactly as before — event rows are invisible to the
+    // replication loader
+    val loaded = ScalingBench.ledgerLoad(2, 200000L, path = path)
+    assert(loaded.size == 1 && loaded.head._1 == 5)
+    // every event row is present, well-formed and carries the workload key
+    val lines = Files.readAllLines(Paths.get(path))
+    assert(lines.size == 4)
+    val events = Seq(0, 2, 3).map(lines.get)
+    assert(events.forall(_.startsWith("{\"event\":\"")))
+    assert(events.forall(_.contains("\"ts\":\"")))
+    assert(lines.get(3).contains("\\\"quoted\\\""))
+    Files.deleteIfExists(Paths.get(path))
+  }
+
   test("deleteRecursively removes nested scratch and tolerates absence") {
     val root = Files.createTempDirectory("graft-delrec")
     Files.createDirectories(root.resolve("a/b"))
