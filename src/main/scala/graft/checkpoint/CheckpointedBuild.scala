@@ -64,16 +64,22 @@ object CheckpointedBuild {
   }
 
   /** Remove every manifest unit of `stage` (multi-unit stages commit one
-    * row per part: tf_p, postings_p).
+    * row per part: tf_p, postings_p). Unit names are matched EXACTLY as
+    * `<stage>_<digits>` (ADVICE r6): a startsWith prefix would also claim
+    * nested stage names — invalidating "terms" used to delete every
+    * `terms_part_*` manifest row even though the terms_part DATA is
+    * intentionally kept across a bm25-config change, silently dropping
+    * the partials' lineage records.
     */
   private def rmManifestPrefix(spark: SparkSession, outDir: String,
       stage: String): Unit = {
     val mdir = Paths.get(s"$outDir/manifest")
+    val unitRe = (java.util.regex.Pattern.quote(stage) + "_\\d+").r
     if (Files.isDirectory(mdir)) {
       val it = Files.list(mdir).iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getFileName.toString.startsWith(s"${stage}_"))
+        if (unitRe.matches(e.getFileName.toString))
           rmrf(spark, e.toString)
       }
     }

@@ -170,6 +170,51 @@ class CheckpointSpec extends AnyFunSuite {
       Bm25Query.searchBlocks(idxC, q, 10).collect().map(h => (h.doc_id, h.score)).toSeq)
   }
 
+  test("bm25-config change after a mid-terms kill keeps committed " +
+      "terms_part units AND their manifest rows (ADVICE r6: invalidation " +
+      "matches exact unit names, not the terms_ prefix)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ckpt-bm25").toString
+    val raw = PagesCorpus.pages(spark, n, parts = 4).toDF()
+    // die after the 2nd committed terms_part slice — partials 0/1 are on
+    // disk (the GC only runs after terms commits)
+    intercept[Boom] {
+      CheckpointedBuild.build(spark, raw, dir, slices = 4,
+        onUnitCommitted = (stage, p) =>
+          if (stage == "terms_part" && p == 1) throw Boom())
+    }
+    val before = CheckpointedBuild.manifest(spark, dir)
+      .where(col("stage") === "terms_part")
+      .collect().map(r => r.getAs[Int]("part") -> r.getAs[Long]("committed_at"))
+      .toMap
+    assert(before.keySet == Set(0, 1))
+    // simulate a bm25 parameter change: rewrite the persisted PRIOR
+    // fingerprint (K1/B are compile-time constants) — the reconcile then
+    // invalidates terms/postings/blocks but must keep the partials, data
+    // AND lineage rows
+    val cfg = spark.read.parquet(s"$dir/manifest/config_0")
+      .as[graft.checkpoint.ManifestRow].head()
+    val mutated = cfg.copy(lineage = cfg.lineage.replaceAll(
+      "bm25=[^;]*", "bm25=9.9,0.55"))
+    Seq(mutated).toDS().write.mode("overwrite")
+      .parquet(s"$dir/manifest/config_0")
+    CheckpointedBuild.build(spark, raw, dir, slices = 4)
+    val afterRows = CheckpointedBuild.manifest(spark, dir)
+      .where(col("stage") === "terms_part")
+      .collect().map(r => r.getAs[Int]("part") -> r.getAs[Long]("committed_at"))
+      .toMap
+    // pre-fix, rmManifestPrefix("terms") deleted terms_part_0/1's rows
+    // (prefix collision); the data-dir markers skipped the recompute, so
+    // the loss was SILENT — exactly what this asserts against
+    assert(afterRows.keySet == Set(0, 1, 2, 3))
+    assert(afterRows(0) == before(0) && afterRows(1) == before(1),
+      "committed partials' manifest rows must survive a bm25-only change")
+    // the reconcile recorded the bm25 invalidation
+    val cr = CheckpointedBuild.manifest(spark, dir)
+      .where(col("stage") === "config_reconcile").collect()
+    assert(cr.length == 1 && cr.head.getAs[String]("lineage").contains("bm25"))
+  }
+
   test("kill mid-postings: committed postings slices are not recomputed") {
     val dirA = Files.createTempDirectory("graft-ckpt-post-a").toString
     val dirB = Files.createTempDirectory("graft-ckpt-post-b").toString
