@@ -110,10 +110,17 @@ object ScalingBench {
 
   /** The corpus is materialized to parquet ONCE, untimed — the metric is
     * index-build docs/sec over an (Iceberg-style) TABLE, and all levels
-    * must read identical input files.
+    * must read identical input files. The cache key includes
+    * [[WorkloadVersion]] (round 7): the round-6 key was nDocs alone, so
+    * when the round-7 generator gained new corpus rows a preserved cache
+    * silently fed the OLD corpus to the new pipeline — caught only
+    * because the rep's result digest matched the prior round's. Rounds
+    * that change the generator bump WorkloadVersion anyway (the corpus
+    * is part of the measured profile), so keying the cache by it makes
+    * the staleness class unrepresentable.
     */
   private def corpusDir(nDocs: Long): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-scale-corpus-$nDocs"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-scale-corpus-$nDocs-$WorkloadVersion"
     if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
       val spark = session(16)
       try PagesCorpus.pages(spark, nDocs, parts = 64).write
