@@ -340,6 +340,20 @@ object ScalingBench {
       }
     }
 
+  /** Min-time supplementary estimator (round 7): host contention is
+    * strictly ADDITIVE to a pinned child's wall time — a neighbor can
+    * slow a build, never speed it — so the per-level minimum wall time
+    * (= maximum docs/sec) over replications spread across hours
+    * converges FROM ABOVE on the uncontended build time at that level.
+    * The ratio of the two minima estimates the clean-window efficiency
+    * without requiring any single globally-clean window: each level
+    * only has to catch its own least-contended moment once. Reported
+    * alongside the probe-gated mean, never averaged into it. */
+  private[graft] def minTimeEfficiency(reps: Seq[Rep]): Double = {
+    require(reps.nonEmpty, "min-time efficiency needs >=1 replication")
+    reps.map(_.b.docsPerSec).max / (4.0 * reps.map(_.a.docsPerSec).max)
+  }
+
   private def cleanIndices(reps: Seq[Rep],
       base: scala.collection.Map[String, Double]): Seq[Int] =
     reps.indices.filter { i =>
@@ -603,6 +617,9 @@ object ScalingBench {
     val cpuEff = rN.cpuSec / (4.0 * r4N.cpuSec)
     val memEff = rN.memSec / (4.0 * r4N.memSec)
     val normEff = eff / memEff
+    val bestA = reps.map(_.a).maxBy(_.docsPerSec)
+    val bestB = reps.map(_.b).maxBy(_.docsPerSec)
+    val minTimeEff = minTimeEfficiency(reps.toSeq)
     def ratios(run: RunResult): String =
       f"${run.cpuSec / base(s"cpu@${run.cores}")}%.2f/" +
         f"${run.memSec / base(s"mem@${run.cores}")}%.2f"
@@ -677,6 +694,17 @@ object ScalingBench {
             else " — fewer clean replications than requested inside the cap"})
          |- Raw mean over ALL ${reps.size} replications (incl. dirty
          |  windows): ${rawMean}%.3f
+         |- **Supplementary min-time estimator over ALL ${reps.size}
+         |  replications: ${minTimeEff}%.3f** — best docs/sec @${4 * n}
+         |  (${bestB.docsPerSec}%.0f) / (4 x best docs/sec @$n
+         |  (${bestA.docsPerSec}%.0f)). Host contention is strictly
+         |  ADDITIVE to a pinned child's wall time (a neighbor can slow a
+         |  build, never speed it), so the per-level minimum over
+         |  replications spread across hours converges from above on the
+         |  uncontended build time at that level; the ratio of the minima
+         |  estimates clean-window efficiency without requiring any single
+         |  globally-clean window — each level only has to catch its own
+         |  least-contended moment once. Not averaged into the gate.
          |
          |Best ${if (clean.nonEmpty) "clean" else "observed (no clean)"} run per level (serving latency context):
          |
@@ -741,6 +769,6 @@ object ScalingBench {
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
     println(md)
-    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","identical_topk":$identical,"clean_reps":${clean.size},"total_reps":${reps.size},"raw_mean":$rawMean%.3f,"gate_met":$gateMet,"cpu_ceiling":$cpuEff%.3f,"mem_ceiling":$memEff%.3f,"normalized":$normEff%.3f}""")
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","identical_topk":$identical,"clean_reps":${clean.size},"total_reps":${reps.size},"raw_mean":$rawMean%.3f,"min_time_eff":$minTimeEff%.3f,"gate_met":$gateMet,"cpu_ceiling":$cpuEff%.3f,"mem_ceiling":$memEff%.3f,"normalized":$normEff%.3f}""")
   }
 }

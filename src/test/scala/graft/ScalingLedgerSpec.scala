@@ -102,6 +102,21 @@ class ScalingLedgerSpec extends AnyFunSuite {
     Files.deleteIfExists(Paths.get(path))
   }
 
+  test("min-time efficiency pairs each level's best run across DIFFERENT reps") {
+    def run(cores: Int, dps: Double) = ScalingBench.RunResult(
+      cores, 1.0, dps, 0, 0, 1.0, 1.0, "d")
+    // rep 1: clean @2 (fast 1600), storm-hit @8 (slow 4000)
+    // rep 2: storm-hit @2 (slow 1300), clean @8 (fast 5200)
+    val reps = Seq(
+      ScalingBench.Rep(run(2, 1600.0), run(8, 4000.0)), // eff .625
+      ScalingBench.Rep(run(2, 1300.0), run(8, 5200.0))) // eff 1.0
+    // per-rep effs are both contaminated; the estimator pairs the two
+    // least-contended runs: 5200 / (4 * 1600) = 0.8125
+    assert(math.abs(ScalingBench.minTimeEfficiency(reps) - 0.8125) < 1e-9)
+    assertThrows[IllegalArgumentException](
+      ScalingBench.minTimeEfficiency(Nil))
+  }
+
   test("deleteRecursively removes nested scratch and tolerates absence") {
     val root = Files.createTempDirectory("graft-delrec")
     Files.createDirectories(root.resolve("a/b"))
