@@ -117,6 +117,38 @@ class ScalingLedgerSpec extends AnyFunSuite {
       ScalingBench.minTimeEfficiency(Nil))
   }
 
+  test("bootstrap CI is deterministic, ordered and brackets the mean") {
+    val xs = Seq(0.742, 0.817, 0.679, 0.843, 0.664, 0.831, 0.845, 0.698,
+      0.934, 0.919, 0.774, 0.819)
+    val (lo, hi) = ScalingBench.bootstrapCI(xs)
+    val (lo2, hi2) = ScalingBench.bootstrapCI(xs)
+    assert((lo, hi) == (lo2, hi2)) // fixed seed => committed report reproduces
+    val mean = xs.sum / xs.size
+    assert(lo < mean && mean < hi)
+    assert(hi - lo < 0.2) // 12 reps with sd ~0.086 => CI width ~0.1
+    // degenerate single observation: CI collapses onto it
+    val (l1, h1) = ScalingBench.bootstrapCI(Seq(0.8))
+    assert(l1 == 0.8 && h1 == 0.8)
+    assertThrows[IllegalArgumentException](ScalingBench.bootstrapCI(Nil))
+  }
+
+  test("hbFloor parses only this workload's heartbeats and takes minima") {
+    val path = "/tmp/graft-hbfloor-test.jsonl"
+    val wl = "r7-extractV6" // must match ScalingBench.WorkloadVersion
+    Files.writeString(Paths.get(path),
+      s"""{"event":"hb","workload":"$wl","n":2,"nDocs":100,"inv":1,"ts":"t","detail":"pre-poll 0 cpu@8=1.52 mem@8=0.81 clean=false"}
+         |{"event":"hb","workload":"$wl","n":2,"nDocs":100,"inv":1,"ts":"t","detail":"pre-poll 1 cpu@8=1.35 mem@8=0.92 clean=false"}
+         |{"event":"hb","workload":"OTHER","n":2,"nDocs":100,"inv":1,"ts":"t","detail":"pre-poll 0 cpu@8=0.01 mem@8=0.01 clean=true"}
+         |{"event":"hb","workload":"$wl","n":4,"nDocs":100,"inv":1,"ts":"t","detail":"pre-poll 0 cpu@16=0.02 mem@16=0.02 clean=true"}
+         |{"event":"rep-start","workload":"$wl","n":2,"nDocs":100,"inv":1,"ts":"t","detail":"attempt 1"}
+         |""".stripMargin)
+    // other workloads, other spans and non-hb rows are all excluded
+    assert(ScalingBench.hbFloor(2, 100, path) === Some((2, 1.35, 0.81)))
+    assert(ScalingBench.hbFloor(2, 999, path) === None)
+    assert(ScalingBench.hbFloor(2, 100, "/tmp/graft-hbfloor-none") === None)
+    Files.deleteIfExists(Paths.get(path))
+  }
+
   test("deleteRecursively removes nested scratch and tolerates absence") {
     val root = Files.createTempDirectory("graft-delrec")
     Files.createDirectories(root.resolve("a/b"))
