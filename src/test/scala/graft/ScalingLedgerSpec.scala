@@ -117,6 +117,41 @@ class ScalingLedgerSpec extends AnyFunSuite {
       ScalingBench.minTimeEfficiency(Nil))
   }
 
+  test("ranked min-time pairs each level's (rank+1)-th fastest run") {
+    def run(cores: Int, dps: Double) = ScalingBench.RunResult(
+      cores, 1.0, dps, 0, 0, 1.0, 1.0, "d")
+    val reps = Seq(
+      ScalingBench.Rep(run(2, 1600.0), run(8, 4000.0)),
+      ScalingBench.Rep(run(2, 1300.0), run(8, 5200.0)),
+      ScalingBench.Rep(run(2, 1500.0), run(8, 4800.0)))
+    // rank 0 == the min-time estimator itself
+    assert(math.abs(ScalingBench.minTimeRanked(reps, 0) -
+      ScalingBench.minTimeEfficiency(reps)) < 1e-12)
+    // rank 1: 2nd-fastest per level = 4800 / (4 * 1500)
+    assert(math.abs(ScalingBench.minTimeRanked(reps, 1) - 0.8) < 1e-12)
+    // rank 2: slowest per level = 4000 / (4 * 1300)
+    assert(math.abs(ScalingBench.minTimeRanked(reps, 2) - 4000.0 / 5200.0) < 1e-12)
+    assertThrows[IllegalArgumentException](ScalingBench.minTimeRanked(reps, 3))
+    assertThrows[IllegalArgumentException](ScalingBench.minTimeRanked(reps, -1))
+  }
+
+  test("dirt regression recovers a perfect eff-vs-dirt line, None when degenerate") {
+    val base = Map("cpu@2" -> 1.0, "mem@2" -> 1.0, "cpu@8" -> 1.0, "mem@8" -> 1.0)
+    def rep(dirtCpuAt2: Double, bDps: Double) = ScalingBench.Rep(
+      ScalingBench.RunResult(2, 1.0, 1000.0, 0, 0, dirtCpuAt2, 1.0, "d"),
+      ScalingBench.RunResult(8, 1.0, bDps, 0, 0, 1.0, 1.0, "d"))
+    // eff = 0.9 - 0.2 * dirt, exactly: dirt 0 -> 0.9, 0.5 -> 0.8, 1 -> 0.7
+    val reps = Seq(rep(1.0, 3600.0), rep(1.5, 3200.0), rep(2.0, 2800.0))
+    val Some((alpha, beta, hw)) = ScalingBench.dirtRegression(reps, base)
+    assert(math.abs(alpha - 0.9) < 1e-9)
+    assert(math.abs(beta - -0.2) < 1e-9)
+    assert(hw < 1e-6) // zero residuals -> zero intercept width
+    // fewer than 3 reps, or zero dirt variance: no regression
+    assert(ScalingBench.dirtRegression(reps.take(2), base).isEmpty)
+    val flat = Seq(rep(1.5, 3600.0), rep(1.5, 3200.0), rep(1.5, 2800.0))
+    assert(ScalingBench.dirtRegression(flat, base).isEmpty)
+  }
+
   test("bootstrap CI is deterministic, ordered and brackets the mean") {
     val xs = Seq(0.742, 0.817, 0.679, 0.843, 0.664, 0.831, 0.845, 0.698,
       0.934, 0.919, 0.774, 0.819)
