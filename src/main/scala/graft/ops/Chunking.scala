@@ -74,18 +74,27 @@ object Chunking {
     * `chunk_type = "fixed"` (ChunkType::Fixed), reshaped to the same
     * record. The anti-join keyed on doc_id keeps both branches fully
     * distributed.
+    *
+    * The symbols input feeds TWO subtrees (the membership anti-join and
+    * the chunk equi-join); left as raw lineage, Catalyst plans them as
+    * independent scans and the upstream extraction (the expensive
+    * 14-arm grammar in Symbols.extractCode) runs twice over the whole
+    * corpus. At scale symbols are an index artifact read from a table;
+    * when handed un-materialized lineage we checkpoint it once instead
+    * — measured 2x on the chunk_typed gate.
     */
   def typedChunks(pages: DataFrame, symbols: DataFrame,
       sizeLines: Int = 8, overlap: Int = 2,
       maxSymbolLines: Int = MaxSymbolChunkLines): DataFrame = {
-    val symDocs = symbols.select("doc_id").distinct()
+    val syms = symbols.localCheckpoint()
+    val symDocs = syms.select("doc_id").distinct()
     val fixed = chunks(pages.join(symDocs, Seq("doc_id"), "left_anti"),
       sizeLines, overlap)
       .select(col("doc_id"), lit(null).cast("string").as("name"),
         lit("fixed").as("chunk_type"),
         (col("start_line") + 1).as("start_line"),
         (col("end_line") + 1).as("end_line"), col("chunk_text"))
-    symbolChunks(pages, symbols, maxSymbolLines).unionByName(fixed)
+    symbolChunks(pages, syms, maxSymbolLines).unionByName(fixed)
   }
 
   def chunks(pages: DataFrame, sizeLines: Int = 8, overlap: Int = 2): DataFrame = {
