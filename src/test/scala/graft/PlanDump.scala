@@ -106,6 +106,12 @@ object PlanDump {
         pages.select(col("doc_id"),
           concat(lit("<html><title>t</title><h1>"), col("doc_id"),
             lit("</h1></html>")).as("html"))).explain("formatted")
+      println("### PLAN 17: typed-chunk dispatch (symbols materialized ONCE — both the membership anti-join and the chunk equi-join read the checkpoint scan, not a re-run of the 14-arm extraction; fixed branch = posexplode+groupBy on symbol-less docs only)")
+      val plainPages = pages.select(col("doc_id"), col("text"))
+      graft.ops.Chunking.typedChunks(plainPages,
+        graft.symbols.Symbols.extractCode(plainPages)
+          .where(col("is_definition")), sizeLines = 8, overlap = 2)
+        .explain("formatted")
     }
     out.close()
     spark.stop()
