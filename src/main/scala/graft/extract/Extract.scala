@@ -317,8 +317,26 @@ object Extract {
     * Known divergences from chardetng, accepted for determinism: the
     * per-rule families above, an ALL-CAPS KOI8-R page reading as
     * windows-1251, and unlabeled single-byte scripts OUTSIDE this table
-    * (Arabic, ISO-8859-5 Cyrillic, Vietnamese...) still taking the
-    * Latin-1 rule — extending the table further is mechanical.
+    * reading as the first in-table script whose structural rule they
+    * satisfy (deterministic mojibake, verified byte-level):
+    *  - Arabic (windows-1256): ف/ق/ك sit on the ISO-8859-7 tonos bytes
+    *    0xDD-0xDF and the letter zone is Greek-block-coherent, so a page
+    *    WITHOUT ز (0xD2 — the 8859-7 hole that rejects it) reads as
+    *    Greek; WITH ز it falls to the Cyrillic case-band (letters
+    *    0xC0-0xDF dominate → KOI8-R, full block coherence). Hebrew
+    *    (0xC0 < band) and Thai (ف=0xDD is a TIS-620 hole) reject it
+    *    structurally. A dedicated cp1256 rule (alef-lam bigram 0xC7 0xE1
+    *    marker BEFORE the Greek rule; cp1251/KOI8 pages can't satisfy
+    *    its U+0600-06FF coherence because cp1256 maps their lowercase
+    *    range partly to Latin accents) is the round-8 extension — not
+    *    landed this round because changing the classifier mid-campaign
+    *    would invalidate the scaling ledger's workload version.
+    *  - ISO-8859-5 Cyrillic: its lowercase band 0xD0-0xEF straddles the
+    *    KOI8/1251 case bands, and both mis-decodes stay inside the
+    *    Cyrillic block, so rule 5 claims it as whichever band wins.
+    *  - Vietnamese and other Latin-extended pages still take the
+    *    Latin-1 rule (isolated-accent shape fails the run precondition).
+    * Extending the table further is mechanical.
     *
     * Returns the DECODED text (the coherence check already paid for the
     * decode), or None to fall through to the Latin heuristics.
