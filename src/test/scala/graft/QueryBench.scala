@@ -25,7 +25,8 @@ object QueryBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val corpus = s"${System.getProperty("java.io.tmpdir")}/graft-scale-corpus-$nDocs"
+    val corpus = s"${System.getProperty("java.io.tmpdir")}/graft-scale-corpus-" +
+      s"$nDocs-${ScalingBench.WorkloadVersion}"
     val raw =
       if (Files.exists(java.nio.file.Paths.get(corpus, "_SUCCESS")))
         spark.read.parquet(corpus)

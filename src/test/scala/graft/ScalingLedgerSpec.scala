@@ -152,6 +152,30 @@ class ScalingLedgerSpec extends AnyFunSuite {
     assert(ScalingBench.dirtRegression(flat, base).isEmpty)
   }
 
+  test("dirt sweep ranks by worst probe ratio, clamps the k ladder, ends at the raw mean") {
+    val base = Map("cpu@2" -> 1.0, "mem@2" -> 1.0, "cpu@8" -> 1.0, "mem@8" -> 1.0)
+    def rep(dirtCpuAt8: Double, bDps: Double) = ScalingBench.Rep(
+      ScalingBench.RunResult(2, 1.0, 1000.0, 0, 0, 1.0, 1.0, "d"),
+      ScalingBench.RunResult(8, 1.0, bDps, 0, 0, dirtCpuAt8, 1.0, "d"))
+    // effs 0.90/0.85/0.80/0.75 at dirt 0.0/0.1/0.2/0.3 (given shuffled)
+    val reps = Seq(rep(1.2, 3200.0), rep(1.0, 3600.0),
+      rep(1.3, 3000.0), rep(1.1, 3400.0))
+    val sweep = ScalingBench.dirtSweep(reps, base, ks = Seq(2, 3, 9))
+    // ladder: ks below size kept, oversize dropped, full set appended
+    assert(sweep.map(_._1) == Seq(2, 3, 4))
+    // each row's max-dirt is the k-th cleanest window's dirt
+    assert(sweep.map(_._2).zip(Seq(0.1, 0.2, 0.3))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // means over the cleanest k: (.90+.85)/2, +.80, +.75 — monotone down
+    assert(sweep.map(_._3).zip(Seq(0.875, 2.55 / 3, 0.825))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // last row IS the raw mean over all reps
+    assert(math.abs(sweep.last._3 - reps.map(_.eff).sum / reps.size) < 1e-12)
+    // a ladder k equal to the rep count is not duplicated
+    assert(ScalingBench.dirtSweep(reps, base, ks = Seq(4)).map(_._1) == Seq(4))
+    assert(ScalingBench.dirtSweep(Nil, base).isEmpty)
+  }
+
   test("bootstrap CI is deterministic, ordered and brackets the mean") {
     val xs = Seq(0.742, 0.817, 0.679, 0.843, 0.664, 0.831, 0.845, 0.698,
       0.934, 0.919, 0.774, 0.819)

@@ -11,7 +11,10 @@ object StageProf {
       .config("spark.sql.adaptive.enabled", "true").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val out = java.nio.file.Files.createTempDirectory("graft-sprof").toString
-    val corpus = s"${System.getProperty("java.io.tmpdir")}/graft-scale-corpus-$n"
+    // the scaling corpus cache is keyed by workload version since round 7
+    // (a generator change + preserved cache silently fed the OLD corpus)
+    val corpus = s"${System.getProperty("java.io.tmpdir")}/graft-scale-corpus-" +
+      s"$n-${ScalingBench.WorkloadVersion}"
     val raw = spark.read.parquet(corpus)
     def t[A](name: String)(f: => A): Unit = {
       val t0 = System.nanoTime(); f

@@ -12,7 +12,8 @@ object TfProf {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-tfprof").toString
-    val corpus = s"${System.getProperty("java.io.tmpdir")}/graft-scale-corpus-$n"
+    val corpus = s"${System.getProperty("java.io.tmpdir")}/graft-scale-corpus-" +
+      s"$n-${ScalingBench.WorkloadVersion}"
     val pages = (if (java.nio.file.Files.exists(java.nio.file.Paths.get(corpus, "_SUCCESS")))
         spark.read.parquet(corpus) else PagesCorpus.pages(spark, n, parts = 64).toDF())
       .withColumn("text2", col("text")).select(col("doc_id"), col("text2").as("text"))
