@@ -347,6 +347,15 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDuplicates(documents(s, dir), "doc_id", "text", 3)),
 
+    // cluster resolution: transitive closure of the minhash near-dup
+    // pairs, one canonical survivor (min doc_id) per component
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pairs = Dedup.minhashDuplicates(docs, "doc_id", "text").select("a", "b")
+      Dedup.clusters(docs, "doc_id", pairs)
+        .select("doc_id", "component", "is_canonical")
+    }),
+
     "txt_fingerprint" -> ((s, dir) =>
       documents(s, dir).select(
         col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))),
@@ -1307,6 +1316,28 @@ object SparkEntry {
          |SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS j
          |FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8""".stripMargin,
+
+    // transitive closure of the near-dup pairs via a recursive CTE
+    // (min-label over reachability); the minhash pair set equals the
+    // exact-Jaccard pair set at this banding geometry (recall 1.0 on
+    // this dataset, same argument as the dedup_minhash oracle)
+    "dedup_clusters" ->
+      s"""${ShingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |           FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |           GROUP BY 1, 2),
+         |pairs AS (SELECT a, b FROM common
+         |          JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         |edges AS (SELECT a AS u, b AS v FROM pairs
+         |          UNION SELECT b AS u, a AS v FROM pairs),
+         |reach(u, v) AS (SELECT u, v FROM edges
+         |                UNION SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+         |comp AS (SELECT u, least(u, min(v)) AS component FROM reach GROUP BY u)
+         |SELECT d.doc_id,
+         |       coalesce(c.component, d.doc_id) AS component,
+         |       d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON c.u = d.doc_id""".stripMargin,
 
     "txt_fingerprint" ->
       s"SELECT doc_id, md5(array_to_string($Tok, ' ')) AS fp FROM documents",

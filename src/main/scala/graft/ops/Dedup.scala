@@ -246,6 +246,124 @@ object Dedup {
     verifyJaccard(cands, sh, minJ)
   }
 
+  /** Connected components over a near-dup pair list — the cluster-
+    * resolution stage a dedup pipeline needs AFTER pair generation
+    * ([[minhashDuplicates]]/[[simhashDuplicates]] emit pairs; keeping one
+    * survivor per transitive cluster requires components, not pairs:
+    * a~b, b~c must retire both b and c even when a~c was never emitted).
+    *
+    * Algorithm: alternating large-star / small-star contractions
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — converges in O(log^2 n) rounds to min-rooted stars, so
+    * the component label IS the minimum id of the cluster (consistent
+    * with [[exactByText]]'s canonical_id semantics).
+    *
+    * Scale notes (the 100 TB story):
+    *  - each half-round is one map-side-combinable groupBy-min plus one
+    *    equi-join — no collect_list/neighborhood arrays, so a viral
+    *    near-dup hub (a boilerplate page with 10^6 copies) costs a
+    *    wide min-aggregate, not an executor-memory array;
+    *  - every round's output is localCheckpoint'ed: iterative DataFrame
+    *    algorithms otherwise accumulate a plan that re-executes the
+    *    whole history each round and eventually breaks the planner;
+    *  - rounds are data-driven with a loud cap: maxIter=50 covers
+    *    O(log^2 n) for any physical corpus (the paper's bound; real
+    *    dedup graphs converge in <10);
+    *  - the output carries one row per NON-isolated node only — at web
+    *    scale the near-dup subgraph is a small fraction of the corpus,
+    *    so the final membership join back onto the corpus
+    *    ([[clusters]]) broadcasts or shuffles a minor side.
+    *
+    * Returns (id, component). A node appearing in no pair is absent
+    * (callers left-join and coalesce to self — see [[clusters]]).
+    */
+  def connectedComponents(pairs: DataFrame, a: String = "a",
+      b: String = "b", maxIter: Int = 50): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      // connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient high->low; connect u and its smaller neighbors to their min
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v"))
+      val mins = dir.groupBy("u").agg(min("v").as("m"))
+      dir.join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    // (count, hash-xor) digest: an order-free edge-SET fingerprint (the
+    // frame is distinct, so xor never self-cancels; sum would overflow
+    // under ANSI); one single-row aggregate per round on a checkpointed
+    // frame
+    def digest(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var e = pairs.select(col(a).as("u"), col(b).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var d = digest(e)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nd = digest(next)
+      converged = nd == d
+      e = next; d = nd; it += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter alternating " +
+        "rounds — the bound is O(log^2 n); this indicates corrupt input " +
+        "(e.g. NaN ids) rather than a larger graph")
+
+    // converged stars: every edge is (member -> component-min); roots
+    // label themselves. Guard star-ness loudly (a node with two distinct
+    // component labels means the contraction is broken, and silent
+    // arbitrary cluster assignment is the one failure mode this operator
+    // must never have).
+    val member = e.select(col("u").as("id"), col("v").as("component"))
+    val roots = e.select(col("v").as("id"), col("v").as("component")).distinct()
+    member.union(roots).distinct()
+      .groupBy("id")
+      .agg(min("component").as("component"), max("component").as("mx"))
+      .select(col("id"),
+        when(col("component") <=> col("mx"), col("component"))
+          .otherwise(raise_error(concat(
+            lit("non-star state after convergence at id "),
+            col("id").cast("string")))).as("component"))
+  }
+
+  /** Marks each row with the canonical (minimum) id of its near-dup
+    * CLUSTER — [[exactByText]]'s contract lifted from exact-equality
+    * groups to the transitive closure of a pair list. `pairs` is any
+    * (a, b) near-dup pair frame ([[minhashDuplicates]],
+    * [[simhashDuplicates]], [[jaccardPairs]]); rows in no pair are their
+    * own canonical. One membership equi-join on the id — the components
+    * side carries only near-dup docs, a minor fraction at corpus scale.
+    */
+  def clusters(df: DataFrame, id: String, pairs: DataFrame,
+      a: String = "a", b: String = "b"): DataFrame = {
+    val comp = connectedComponents(pairs, a, b)
+      .select(col("id").as("__cc_id"), col("component"))
+    df.join(comp, df(id) === comp("__cc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col(id)))
+      .withColumn("is_canonical", col(id) === col("component"))
+      .drop("__cc_id")
+  }
+
   /** 128-bit SimHash signature (two 64-bit words). */
   case class Sig128(hi: Long, lo: Long)
 

@@ -53,6 +53,53 @@ class DedupSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("collision")), messages(ex).mkString("; "))
   }
 
+  test("cluster resolution: chain closes transitively, isolated rows self-canonical") {
+    // a~b pairs only chain 1-2-3-4-5; the closure must retire ALL of
+    // 2..5 under canonical 1 even though e.g. (1,5) was never a pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val r = Dedup.clusters(docs, "doc_id", pairs)
+      .select("doc_id", "component", "is_canonical")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).sortBy(_._1)
+    assert(r(0) == ((1L, 1L, true)))
+    assert(r.slice(1, 5).forall(x => x._2 == 1L && !x._3), r.mkString(", "))
+    assert(r(5) == ((6L, 6L, true))) // in no pair -> own cluster, kept
+  }
+
+  test("connected components: random graphs match a union-find oracle") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 4) {
+      val n = 40 + trial * 17
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      // union-find with union-by-min: each root is its component's minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (x, y) =>
+        val (rx, ry) = (find(x.toInt), find(y.toInt))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+      val touched = edges.flatMap(p => Seq(p._1, p._2)).toSet
+      assert(got.keySet == touched, s"trial $trial: ids with a pair, exactly")
+      touched.foreach { idv =>
+        assert(got(idv) == find(idv.toInt).toLong, s"trial $trial id $idv")
+      }
+    }
+  }
+
+  test("connected components: long path converges under the round cap; empty pairs") {
+    // a 64-node path maximizes label-propagation distance — naive
+    // neighbor-min propagation would need 63 rounds; star contraction
+    // must close it well inside maxIter
+    val path = (1 until 64).map(i => (i.toLong + 1, i.toLong)).toDF("a", "b")
+    val got = Dedup.connectedComponents(path)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.length == 64 && got.forall(_._2 == 1L))
+    val none = Dedup.clusters(docs, "doc_id", Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(none.where(!col("is_canonical")).count() == 0)
+  }
+
   test("jaccard pairs: hand-computed 3-shingle similarity") {
     // doc1/doc4: 4 shingles each, 3 common -> j = 3/5 = 0.6
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
