@@ -277,32 +277,47 @@ object Dedup {
     * Returns (id, component). A node appearing in no pair is absent
     * (callers left-join and coalesce to self — see [[clusters]]).
     */
+  /** One alternating contraction round (large-star then small-star) —
+    * the loop body of [[connectedComponents]]. The large-star output is
+    * localCheckpoint'ed BEFORE small-star consumes it: small-star
+    * references its input from three subtrees (the join's probe side,
+    * the min-aggregate build side, and the union leg), and without a
+    * materialization barrier each reference re-executes the entire
+    * large-star subtree — the plan audit (PLANS.md 18) caught exactly
+    * this as three duplicated large-star plans per round. One extra
+    * materialization buys back ~3x the half-round's shuffle work.
+    */
+  private[graft] def contractionRound(e: DataFrame): DataFrame =
+    smallStar(largeStar(e).localCheckpoint())
+
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    // connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, Seq("u"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    // orient high->low; connect u and its smaller neighbors to their min
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+    val mins = dir.groupBy("u").agg(min("v").as("m"))
+    dir.join(mins, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
   def connectedComponents(pairs: DataFrame, a: String = "a",
       b: String = "b", maxIter: Int = 50): DataFrame = {
-    def largeStar(e: DataFrame): DataFrame = {
-      // connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})
-      val sym = e.select(col("u"), col("v"))
-        .union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      sym.join(mins, Seq("u"))
-        .where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v"))
-        .distinct()
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      // orient high->low; connect u and its smaller neighbors to their min
-      val dir = e.select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v"))
-        .where(col("u") =!= col("v"))
-      val mins = dir.groupBy("u").agg(min("v").as("m"))
-      dir.join(mins, Seq("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(mins.select(col("u"), col("m").as("v")))
-        .where(col("u") =!= col("v"))
-        .distinct()
-    }
     // (count, hash-xor) digest: an order-free edge-SET fingerprint (the
     // frame is distinct, so xor never self-cancels; sum would overflow
     // under ANSI); one single-row aggregate per round on a checkpointed
@@ -319,7 +334,7 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = contractionRound(e).localCheckpoint()
       val nd = digest(next)
       converged = nd == d
       e = next; d = nd; it += 1

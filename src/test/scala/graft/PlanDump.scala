@@ -112,6 +112,13 @@ object PlanDump {
         graft.symbols.Symbols.extractCode(plainPages)
           .where(col("is_definition")), sizeLines = 8, overlap = 2)
         .explain("formatted")
+      println("### PLAN 18: dedup cluster resolution — one contraction round as iterated, BOTH half-rounds (groupBy-min Exchange + equi-join, NO neighborhood arrays; each half reads a localCheckpoint RDD scan, never a re-derivation — the unmaterialized form executed large-star 3x per round)")
+      val seedEdges = pages.select(col("doc_id").as("u"),
+        (col("doc_id") + lit(1L)).as("v")).where(col("doc_id") % 5 === 0)
+        .localCheckpoint()
+      val half = graft.ops.Dedup.largeStar(seedEdges)
+      half.explain("formatted")
+      graft.ops.Dedup.smallStar(half.localCheckpoint()).explain("formatted")
     }
     out.close()
     spark.stop()
