@@ -146,7 +146,14 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
     blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     terms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    blocks.count(); terms.count(); docs.count()
+    // materialize the three caches CONCURRENTLY (guide §2.6) — they are
+    // independent scans, and serially each paid its own planning+schedule
+    // round trip
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = IndexBuilder.buildEc
+    Seq(Future(blocks.count()), Future(terms.count()), Future(docs.count()))
+      .foreach(Await.result(_, Duration.Inf))
     this
   }
 
@@ -218,6 +225,24 @@ object BuiltIndex {
   * bincode save -> partitioned parquet tables.
   */
 object IndexBuilder {
+
+  /** Small daemon pool for overlapping the build's independent write
+    * actions (guide §2.6): Spark happily runs several jobs at once inside
+    * one application, and the per-action driver work (planning, codegen,
+    * parquet commit) of one write then overlaps the cluster execution of
+    * another. 4 threads bounds the concurrency to the build's actual
+    * independent-action count.
+    */
+  private[index] lazy val buildEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-build-${n.getAndIncrement()}")
+            t.setDaemon(true); t
+          }
+        }))
 
   /** Dictionary size up to which the postings stage ships (term_id, idf)
     * as a broadcast-hash join — ~16B/entry plus overhead, so 2M terms is
@@ -329,18 +354,27 @@ object IndexBuilder {
     * the checkpointed per-slice terms stage (CheckpointedBuild stage 3b).
     */
   def writeDictionaryDims(spark: SparkSession, termsDir: String): Unit = {
-    // reversed-term dimension (suffix regex lookups, see
-    // BuiltIndex.termsRev) — one tiny job over the dictionary itself
+    writeTermsRev(spark, termsDir)
+    writeTermsNgrams(spark, termsDir)
+  }
+
+  /** Reversed-term dimension (suffix regex lookups, see
+    * BuiltIndex.termsRev) — one tiny job over the dictionary itself.
+    */
+  private[index] def writeTermsRev(spark: SparkSession, termsDir: String): Unit =
     spark.read.parquet(termsDir)
       .select(reverse(col("term")).as("term_rev"), col("term_id"))
       .sortWithinPartitions("term_rev")
       .write.mode("overwrite").parquet(s"${termsDir}_rev")
-    // character-trigram dimension (INFIX regex lookups, round 5): one
-    // (gram, term_id) row per distinct trigram of each dictionary term,
-    // files sorted by gram so a pushed In(gram) probe prunes row groups —
-    // the reference's trigram trick (trigram.rs:130-162) applied to the
-    // DICTIONARY (orders of magnitude smaller than the corpus). `%foo%`
-    // lookups previously paid a full containment scan of terms.
+
+  /** Character-trigram dimension (INFIX regex lookups, round 5): one
+    * (gram, term_id) row per distinct trigram of each dictionary term,
+    * files sorted by gram so a pushed In(gram) probe prunes row groups —
+    * the reference's trigram trick (trigram.rs:130-162) applied to the
+    * DICTIONARY (orders of magnitude smaller than the corpus). `%foo%`
+    * lookups previously paid a full containment scan of terms.
+    */
+  private[index] def writeTermsNgrams(spark: SparkSession, termsDir: String): Unit =
     spark.read.parquet(termsDir)
       .select(explode(expr(
         """array_distinct(CASE WHEN length(term) >= 3
@@ -349,7 +383,6 @@ object IndexBuilder {
           |ELSE array() END)""".stripMargin)).as("gram"), col("term_id"))
       .sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(s"${termsDir}_ngrams")
-  }
 
   private def writeDictionaryMain(spark: SparkSession, tfR: DataFrame,
       numDocs: Long, termsDir: String): Long = {
@@ -464,9 +497,20 @@ object IndexBuilder {
     val avgdl = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs.toDouble
 
     // A4/A2: term dictionary with df and idf (shared with the checkpointed
-    // build; handles both tf schemas + the collision guard).
-    val numTerms = writeDictionary(spark, tfR, numDocs, s"$outDir/terms")
+    // build; handles both tf schemas + the collision guard). The derived
+    // dimensions (terms_rev / terms_ngrams) are launched CONCURRENTLY
+    // with the postings/blocks writes below (guide §2.6): all four only
+    // need the main dictionary table, and at any scale the driver-side
+    // planning+commit of one write overlaps the execution of another
+    // instead of serializing 4 actions end to end.
+    val numTerms = writeDictionaryMain(spark, tfR, numDocs, s"$outDir/terms")
     val termsR = spark.read.parquet(s"$outDir/terms")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = IndexBuilder.buildEc
+    val fDims = Seq(
+      Future(writeTermsRev(spark, s"$outDir/terms")),
+      Future(writeTermsNgrams(spark, s"$outDir/terms")))
 
     // Posting rows with precomputed BM25 impact. The serving artifact
     // needs only (term_id, doc_id, impact): tf is subsumed by the impact
@@ -508,11 +552,12 @@ object IndexBuilder {
     // pushed In(term_id). (repartitionByRange would add a sampling job
     // that RE-EXECUTES the join; a hash repartition is a redundant full
     // shuffle.)
-    postings
-      .sortWithinPartitions("term_id", "doc_id")
-      .write.mode("overwrite").option("compression", "zstd")
-      .parquet(s"$outDir/postings")
-    val postingsR = spark.read.parquet(s"$outDir/postings")
+    val fPostings = Future {
+      postings
+        .sortWithinPartitions("term_id", "doc_id")
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$outDir/postings")
+    }
 
     // Posting blocks: fixed docId ranges (block_id = doc_id >> blockBits)
     // act as the salt for head-term skew (see PostingBlock scaladoc).
@@ -521,8 +566,11 @@ object IndexBuilder {
     // with impacts computed inside the encoder (PostingBlocks.encodeFromTf)
     // — the blocks Exchange then ships (tf, doc_len) small ints instead of
     // impact doubles, a multiple-x compressed-byte cut through the one
-    // shuffle the build pays. Past the ceiling (or legacy v1 tf with no
-    // doc_len) the postings-driven encode remains the exact fallback.
+    // shuffle the build pays (and the blocks write needs nothing from the
+    // postings table, so it runs concurrently with it — guide §2.6).
+    // Past the ceiling (or legacy v1 tf with no doc_len) the
+    // postings-driven encode remains the exact fallback, which DOES read
+    // the written postings and therefore stays sequenced behind them.
     if (tfR.columns.contains("doc_len") && numTerms <= maxBroadcastTerms) {
       val idfMap = new LongDoubleMap(math.max(16, numTerms.toInt))
       termsR.select("term_id", "idf").collect()
@@ -531,10 +579,14 @@ object IndexBuilder {
       PostingBlocks.writeBlocksFromTf(
         tfWithId.select("term_id", "doc_id", "tf", "doc_len"),
         avgdl, bcIdf, outDir, buckets, blockBits, quantizeImpacts)
+      Await.result(fPostings, Duration.Inf)
     } else {
+      Await.result(fPostings, Duration.Inf)
+      val postingsR = spark.read.parquet(s"$outDir/postings")
       PostingBlocks.writeBlocks(postingsR, outDir, buckets, blockBits,
         quantizeImpacts)
     }
+    fDims.foreach(Await.result(_, Duration.Inf))
 
     val numPostings = postObs.get("n").asInstanceOf[Long]
     Seq(IndexStats(numDocs, totalTokens, avgdl, numTerms, numPostings))

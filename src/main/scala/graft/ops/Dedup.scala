@@ -79,6 +79,25 @@ object Dedup {
     df.select(col(id).as("sid"), Tokenizer.tokensCol(col(text)).as("toks"))
       .select(col("sid"), explode(shinglesFromTokens(col("toks"), n)).as("s"))
 
+  /** Per-doc distinct shingle ARRAY `(sid, sarr)`, materialized once
+    * (round 8): every stage of the minhash/jaccard funnels — signature
+    * build, size filter, exact verification — derives from the same
+    * tokenize+shingle pass, but as separate lineage each self-join side
+    * re-ran the full pass (2-3 corpus scans per operator) and the
+    * verify stage re-ASSEMBLED arrays it already had via an
+    * explode + collect_list shuffle. One `localCheckpoint` of the
+    * per-doc arrays (MEMORY_AND_DISK, spills gracefully) replaces all
+    * of that: one tokenize pass, zero signature/verify shuffles.
+    * The arrays are uncapped here — signatures must hash the FULL
+    * shingle set; [[verifyJaccardArrays]] applies the
+    * [[MaxVerifyShingles]] cap where the arrays enter join payloads.
+    */
+  private def shingleArrays(df: DataFrame, id: String, text: String,
+      n: Int): DataFrame =
+    df.select(col(id).as("sid"), Tokenizer.tokensCol(col(text)).as("toks"))
+      .select(col("sid"), shinglesFromTokens(col("toks"), n).as("sarr"))
+      .localCheckpoint()
+
   /** Exact pairwise n-gram Jaccard over shingle sets, for pairs with
     * similarity >= minJ. Only pairs sharing a shingle are generated
     * (shingle-key equi-join, no cross product).
@@ -94,8 +113,12 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
       minJ: Double): DataFrame = {
-    val sh = shingleRows(df, id, text, n)
-    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("sz"))
+    val shA = shingleArrays(df, id, text, n)
+    val sh = shA.select(col("sid"), explode(col("sarr")).as("s"))
+    // doc sizes read off the materialized arrays — the round-7 shape
+    // paid a groupBy-count shuffle to recount what size(sarr) knows
+    val sizes = shA.select(col("sid"), size(col("sarr")).cast("long").as("sz"))
+      .where(col("sz") > 0)
     val sdf = sh.groupBy("s").agg(count(lit(1)).as("sdf"))
 
     // per-doc prefix of the (globally) rarest shingles
@@ -114,7 +137,7 @@ object Dedup {
           lit(minJ) * greatest(col("na"), col("nb")).cast("double"))
       .select("a", "b").distinct()
 
-    verifyJaccard(cands, sh, minJ)
+    verifyJaccardArrays(cands, shA, minJ)
   }
 
   /** Verify-stage shingle-array ceiling: a pathological doc (hundreds of
@@ -145,19 +168,21 @@ object Dedup {
     * In-contract docs (100 KB-line safety gate, web-page sizes) never
     * cap: their pairs are exact with `estimated = false`.
     */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+  private def verifyJaccardArrays(cands: DataFrame, shA: DataFrame,
       minJ: Double): DataFrame = {
     val byHash = (l: Column, r: Column) =>
       when(xxhash64(l) < xxhash64(r), lit(-1))
         .when(xxhash64(l) > xxhash64(r), lit(1)).otherwise(lit(0))
-    val shArr = sh.groupBy("sid")
-      .agg(collect_list(col("s")).as("arr0"))
-      .withColumn("capped", size(col("arr0")) > lit(MaxVerifyShingles))
+    // round 8: the arrays come straight from the materialized per-doc
+    // shingle frame ([[shingleArrays]]) — the round-7 shape re-exploded
+    // them and paid a collect_list shuffle to reassemble what it had
+    val shArr = shA
+      .withColumn("capped", size(col("sarr")) > lit(MaxVerifyShingles))
       .withColumn("arr",
-        when(!col("capped"), col("arr0"))
-          .otherwise(slice(array_sort(col("arr0"), byHash), 1, MaxVerifyShingles)))
-      .withColumn("sz", size(col("arr0")).cast("long"))
-      .drop("arr0")
+        when(!col("capped"), col("sarr"))
+          .otherwise(slice(array_sort(col("sarr"), byHash), 1, MaxVerifyShingles)))
+      .withColumn("sz", size(col("sarr")).cast("long"))
+      .drop("sarr")
     val joined = cands
       .join(shArr.select(col("sid").as("a"), col("arr").as("arr_a"),
         col("sz").as("na"), col("capped").as("ca")), Seq("a"))
@@ -182,33 +207,57 @@ object Dedup {
       .select("a", "b", "j", "estimated")
   }
 
+  /** MinHash signature ARRAY per doc: sig[i] = min over shingles of
+    * xxhash64(i, s), derived DOC-LOCALLY from the materialized shingle
+    * arrays (round 8) — array_min over a transform, zero shuffle. The
+    * round-7 shape exploded the shingles and ran a 64-min-aggregate
+    * groupBy (one Exchange + the same number of hash evaluations).
+    * Docs with no shingles carry no signature (same absence semantics
+    * as the old groupBy).
+    */
+  /** sig[i] = min over `sarr` of xxhash64(i, s) — allocation-free inner
+    * min (least() over a fold; no 64 temp hash arrays per doc), the same
+    * min the round-7 64-column groupBy aggregate computed.
+    */
+  private def sigExpr(sarr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => aggregate(sarr, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(i, s))))
+
+  private def minhashSigArr(shA: DataFrame, k: Int): DataFrame =
+    shA.where(size(col("sarr")) > 0)
+      .select(col("sid"), sigExpr(col("sarr"), k).as("sig"))
+      // materialized once: the band self-join references the signatures
+      // from BOTH sides, and without a barrier each side re-hashes every
+      // shingle 64x (the round-7 groupBy shape shared its Exchange;
+      // narrow lineage has nothing to reuse)
+      .localCheckpoint()
+
   /** MinHash signatures: k hash functions h_i(s) = xxhash64(i, s), min per
-    * doc. One groupBy with k min-aggregates — map-side combinable.
+    * doc — the wide (h0..h{k-1}) public schema over [[minhashSigArr]].
     */
   def minhashSignatures(df: DataFrame, id: String, text: String, n: Int,
       k: Int): DataFrame = {
-    val sh = shingleRows(df, id, text, n)
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    sh.groupBy(col("sid").as(id)).agg(aggs.head, aggs.tail: _*)
+    val sa = minhashSigArr(shingleArrays(df, id, text, n), k)
+    sa.select(col("sid").as(id) +:
+      (0 until k).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
   }
 
   /** LSH banding over signatures: bands of `rowsPerBand` components hashed
     * to a bucket; candidate pairs = distinct (a,b) colliding in any band,
     * with the estimated Jaccard (fraction of equal signature components).
     */
-  def minhashCandidates(df: DataFrame, id: String, text: String,
-      n: Int = 3, k: Int = 64, bands: Int = 8): DataFrame = {
-    require(k % bands == 0)
+  /** Distinct banded candidate id pairs (a < b) from a signature-array
+    * frame — the shared core of [[minhashCandidates]] and
+    * [[minhashDuplicates]].
+    */
+  private def bandedCandidateIds(sigArr: DataFrame, k: Int,
+      bands: Int): DataFrame = {
     val rpb = k / bands
-    val sigs = minhashSignatures(df, id, text, n, k)
-    val sigArr = sigs.withColumn("sig", array((0 until k).map(i => col(s"h$i")): _*))
-      .select(col(id).as("sid"), col("sig"))
     // banded rows carry (sid, band, bucket) ONLY — the 64-long signature
     // (~520B/row, x bands rows per doc) stays OUT of the band-bucket
     // shuffle and joins back onto the (far smaller) distinct candidate
-    // set afterwards. est_j (component-equality fraction of the FULL
-    // signatures) is band-independent, so computing it once after the
-    // distinct equals the old per-band-then-max form exactly.
+    // set afterwards.
     val banded = sigArr.select(
       col("sid"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -218,9 +267,19 @@ object Dedup {
       .select(col("sid"), col("bb.band"), col("bb.bucket"))
     val x = banded.toDF("a", "band", "bucket")
     val y = banded.toDF("b", "band", "bucket")
-    val candIds = x.join(y, Seq("band", "bucket"))
+    x.join(y, Seq("band", "bucket"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  def minhashCandidates(df: DataFrame, id: String, text: String,
+      n: Int = 3, k: Int = 64, bands: Int = 8): DataFrame = {
+    require(k % bands == 0)
+    val sigArr = minhashSigArr(shingleArrays(df, id, text, n), k)
+    val candIds = bandedCandidateIds(sigArr, k, bands)
+    // est_j (component-equality fraction of the FULL signatures) is
+    // band-independent, so computing it once after the distinct equals
+    // the old per-band-then-max form exactly.
     candIds
       .join(sigArr.select(col("sid").as("a"), col("sig").as("siga")), Seq("a"))
       .join(sigArr.select(col("sid").as("b"), col("sig").as("sigb")), Seq("b"))
@@ -241,42 +300,23 @@ object Dedup {
     */
   def minhashDuplicates(df: DataFrame, id: String, text: String,
       n: Int = 3, k: Int = 64, bands: Int = 8, minJ: Double = 0.8): DataFrame = {
-    val cands = minhashCandidates(df, id, text, n, k, bands).select("a", "b")
-    val sh = shingleRows(df, id, text, n)
-    verifyJaccard(cands, sh, minJ)
+    require(k % bands == 0)
+    // ONE shingle pass, ONE materialization, carrying (sid, sarr, sig):
+    // the banding funnel projects the signatures, the exact verification
+    // projects the arrays — round 7 tokenized the corpus twice and
+    // attached est_j signatures the verified output discards; the first
+    // round-8 cut still materialized arrays and signatures separately.
+    val shSig = df
+      .select(col(id).as("sid"), Tokenizer.tokensCol(col(text)).as("toks"))
+      .select(col("sid"), shinglesFromTokens(col("toks"), n).as("sarr"))
+      .withColumn("sig", sigExpr(col("sarr"), k))
+      .localCheckpoint()
+    val cands = bandedCandidateIds(
+      shSig.where(size(col("sarr")) > 0).select(col("sid"), col("sig")),
+      k, bands)
+    verifyJaccardArrays(cands, shSig.select(col("sid"), col("sarr")), minJ)
   }
 
-  /** Connected components over a near-dup pair list — the cluster-
-    * resolution stage a dedup pipeline needs AFTER pair generation
-    * ([[minhashDuplicates]]/[[simhashDuplicates]] emit pairs; keeping one
-    * survivor per transitive cluster requires components, not pairs:
-    * a~b, b~c must retire both b and c even when a~c was never emitted).
-    *
-    * Algorithm: alternating large-star / small-star contractions
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC 2014) — converges in O(log^2 n) rounds to min-rooted stars, so
-    * the component label IS the minimum id of the cluster (consistent
-    * with [[exactByText]]'s canonical_id semantics).
-    *
-    * Scale notes (the 100 TB story):
-    *  - each half-round is one map-side-combinable groupBy-min plus one
-    *    equi-join — no collect_list/neighborhood arrays, so a viral
-    *    near-dup hub (a boilerplate page with 10^6 copies) costs a
-    *    wide min-aggregate, not an executor-memory array;
-    *  - every round's output is localCheckpoint'ed: iterative DataFrame
-    *    algorithms otherwise accumulate a plan that re-executes the
-    *    whole history each round and eventually breaks the planner;
-    *  - rounds are data-driven with a loud cap: maxIter=50 covers
-    *    O(log^2 n) for any physical corpus (the paper's bound; real
-    *    dedup graphs converge in <10);
-    *  - the output carries one row per NON-isolated node only — at web
-    *    scale the near-dup subgraph is a small fraction of the corpus,
-    *    so the final membership join back onto the corpus
-    *    ([[clusters]]) broadcasts or shuffles a minor side.
-    *
-    * Returns (id, component). A node appearing in no pair is absent
-    * (callers left-join and coalesce to self — see [[clusters]]).
-    */
   /** One alternating contraction round (large-star then small-star) —
     * the loop body of [[connectedComponents]]. The large-star output is
     * localCheckpoint'ed BEFORE small-star consumes it: small-star
@@ -316,6 +356,55 @@ object Dedup {
       .distinct()
   }
 
+  /** Edge-count ceiling for the driver union-find shortcut in
+    * [[connectedComponents]]: 4M edges collect as two long arrays
+    * (~64 MB), the same documented driver-budget class as the term
+    * dictionary and broadcast rank sets elsewhere in this engine. A
+    * near-dup pair list under the ceiling resolves in ONE collect + a
+    * path-compressed union-find instead of 3-4 alternating contraction
+    * rounds of ~3 Spark jobs each — identical components, identical
+    * min-id labels. Past the ceiling (web-scale dedup graphs) the
+    * alternating large-star/small-star loop below is the path, exactly
+    * as before.
+    */
+  val DriverComponentsMaxEdges = 4000000L
+
+  /** Connected components over a near-dup pair list — the cluster-
+    * resolution stage a dedup pipeline needs AFTER pair generation
+    * ([[minhashDuplicates]]/[[simhashDuplicates]] emit pairs; keeping one
+    * survivor per transitive cluster requires components, not pairs:
+    * a~b, b~c must retire both b and c even when a~c was never emitted).
+    *
+    * Algorithm: alternating large-star / small-star contractions
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — converges in O(log^2 n) rounds to min-rooted stars, so
+    * the component label IS the minimum id of the cluster (consistent
+    * with [[exactByText]]'s canonical_id semantics). Pair lists under
+    * [[DriverComponentsMaxEdges]] (with long ids) take the documented
+    * driver union-find shortcut instead — same output, a fraction of
+    * the Spark jobs.
+    *
+    * Scale notes (the 100 TB story):
+    *  - each half-round is one map-side-combinable groupBy-min plus one
+    *    equi-join — no collect_list/neighborhood arrays, so a viral
+    *    near-dup hub (a boilerplate page with 10^6 copies) costs a
+    *    wide min-aggregate, not an executor-memory array;
+    *  - every round's output is localCheckpoint'ed: iterative DataFrame
+    *    algorithms otherwise accumulate a plan that re-executes the
+    *    whole history each round and eventually breaks the planner;
+    *  - rounds are data-driven with a loud cap: maxIter=50 covers
+    *    O(log^2 n) for any physical corpus (the paper's bound; real
+    *    dedup graphs converge in <10);
+    *  - the output carries one row per NON-isolated node only — at web
+    *    scale the near-dup subgraph is a small fraction of the corpus,
+    *    so the final membership join back onto the corpus
+    *    ([[clusters]]) broadcasts or shuffles a minor side.
+    *
+    * Returns (id, component). A node appearing in no pair is absent
+    * (callers left-join and coalesce to self — see [[clusters]]).
+    * Null ids raise loudly (ADVICE r7): a silent three-valued-logic
+    * drop would leave two docs un-clustered with no signal.
+    */
   def connectedComponents(pairs: DataFrame, a: String = "a",
       b: String = "b", maxIter: Int = 50): DataFrame = {
     // (count, hash-xor) digest: an order-free edge-SET fingerprint (the
@@ -328,9 +417,45 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var e = pairs.select(col(a).as("u"), col(b).as("v"))
+    // loud null gate riding the same projection (no extra job): a null
+    // id would otherwise vanish in the =!= filter's three-valued logic
+    def nn(c: Column): Column =
+      when(c.isNull, raise_error(lit(
+        "connectedComponents: null id in pairs — corrupt input"))).otherwise(c)
+
+    var e = pairs.select(nn(col(a)).as("u"), nn(col(b)).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
     var d = digest(e)
+
+    // driver union-find shortcut (round 8; bounded + documented above)
+    val longIds = e.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longIds && d._1 <= DriverComponentsMaxEdges) {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val edges = e.as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      edges.foreach { case (u, v) =>
+        val ru = find(u); val rv = find(v)
+        // union by MIN root so the final label is the component minimum
+        if (ru != rv) {
+          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      val out = edges.iterator.flatMap { case (u, v) => Iterator(u, v) }
+        .toArray.distinct.map(x => (x, find(x)))
+      return spark.createDataset(out.toIndexedSeq).toDF("id", "component")
+    }
+
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -371,12 +496,16 @@ object Dedup {
     */
   def clusters(df: DataFrame, id: String, pairs: DataFrame,
       a: String = "a", b: String = "b"): DataFrame = {
+    // the components side is aliased to reserved names BEFORE the join
+    // (ADVICE r7): an input df that already carries a 'component' column
+    // would otherwise make the coalesce ambiguous. Output columns
+    // 'component'/'is_canonical' overwrite same-named input columns.
     val comp = connectedComponents(pairs, a, b)
-      .select(col("id").as("__cc_id"), col("component"))
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
     df.join(comp, df(id) === comp("__cc_id"), "left")
-      .withColumn("component", coalesce(col("component"), col(id)))
+      .withColumn("component", coalesce(col("__cc_comp"), col(id)))
       .withColumn("is_canonical", col(id) === col("component"))
-      .drop("__cc_id")
+      .drop("__cc_id", "__cc_comp")
   }
 
   /** 128-bit SimHash signature (two 64-bit words). */
@@ -439,10 +568,15 @@ object Dedup {
   def simhashDuplicates(df: DataFrame, id: String, text: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole covers hamming<=3")
+    // localCheckpoint: the chunk self-join below references the signature
+    // frame from BOTH sides — as raw lineage each side re-ran the
+    // md5-per-token signature UDF over the whole corpus (round 8; same
+    // lesson as the contraction-round and shingle-array barriers)
     val withSig = df
       .where(size(Tokenizer.tokensCol(col(text))) > 0)
       .select(col(id).as("sid"), simhash128(col(text)).as("sig"))
       .select(col("sid"), col("sig.hi").as("hi"), col("sig.lo").as("lo"))
+      .localCheckpoint()
     val chunkStructs = (0 until 4).map { c =>
       val word = if (c < 2) col("hi") else col("lo")
       struct(lit(c).as("chunk"),

@@ -324,13 +324,21 @@ object Similarity {
     val w = codebooks.head.head.size
     val codeCols = codebooks.indices.map { m =>
       val sub = slice(col("_nv"), m * w + 1, w)
-      val cands = array(codebooks(m).indices.map { c =>
+      // round 8: the codebook is DATA (one 2-D array literal indexed by
+      // the candidate code), not 16 unrolled aggregate expressions — the
+      // old shape compiled ncode x numSub distance folds into one giant
+      // codegen unit and the compile time dwarfed the row work at query
+      // time. Arithmetic is unchanged: same zip_with square-distance
+      // fold per code, same (-d2, -c) struct argmax, so codes are
+      // bit-identical.
+      val cb = typedlit(codebooks(m))
+      val cands = transform(sequence(lit(0), lit(codebooks(m).size - 1)), c => {
         val d2 = aggregate(
-          zip_with(sub, typedlit(codebooks(m)(c)),
+          zip_with(sub, element_at(cb, c + 1),
             (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, v) => acc + v)
-        struct((-d2).as("nd"), lit(-c).as("nc"))
-      }: _*)
+        struct((-d2).as("nd"), (-c).as("nc"))
+      })
       (-array_max(cands).getField("nc")).cast("int")
     }
     withUnitVec(df, vecCol)

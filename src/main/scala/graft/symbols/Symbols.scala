@@ -194,26 +194,28 @@ object Symbols {
     * semantics are case-insensitive, engine.rs:1795-1800).
     */
   def extractCode(pages: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("ln0")
     val ln = (col("ln0") + 1).cast("int")
-    val ind = (length(col("ltxt")) - length(ltrim(col("ltxt")))).cast("int")
+    // shared guard predicates, evaluated ONCE per line (round 8): the
+    // KwAnyRx / TypedMethodRx / SingletonRx regexes each gate several
+    // arms — as inline guards they ran up to 3x per line and bloated the
+    // codegen tree; as projected columns each runs exactly once.
+    val guardCol: Map[String, Column] = Map(
+      KwAnyRx -> col("_g_kw"), TypedMethodRx -> col("_g_tm"),
+      SingletonRx -> col("_g_sg"))
     def armStruct(a: CodeArm): Column = {
       val name = lower(regexp_extract(col("ltxt"), a.rx, 1))
-      val guards = a.notRx.map(r => !col("ltxt").rlike(r))
+      val guards = a.notRx.map(r => !guardCol(r))
         .foldLeft(lit(true))(_ && _)
       if (!a.onPrevLine)
         struct(name.as("name"), lit(a.kind).as("kind"), ln.as("line"),
-          ind.as("column"), (name =!= "" && guards).as("ok"))
+          col("_ind").as("column"), (name =!= "" && guards).as("ok"))
       else {
         // two-line C definition: the name line matches CNameRx, the
         // PREVIOUS line is a bare type line (and itself no keyword
         // definition) — symbol attributed to the type line, column 0
-        val prevOk = coalesce(col("prev").rlike(CTypeLineRx), lit(false)) &&
-          coalesce(!col("prev").rlike(KwAnyRx), lit(false))
         struct(name.as("name"), lit(a.kind).as("kind"),
           (ln - 1).as("line"), lit(0).cast("int").as("column"),
-          (name =!= "" && guards && prevOk).as("ok"))
+          (name =!= "" && guards && col("_g_prev")).as("ok"))
       }
     }
     val arms = CodeArms.map(armStruct)
@@ -223,12 +225,34 @@ object Symbols {
     // \r on CRLF content and the two engines diverge on every C-style
     // arm. Splitting both engines on \r?\n (the oracle twin mirrors
     // this) removes the terminator from the matched text entirely.
+    //
+    // prev line via ARRAY SHIFT, not a lag window (round 8): the lag
+    // forced an Exchange + per-doc sort of every exploded line; zipping
+    // each line with its predecessor inside the array domain keeps the
+    // whole extraction one narrow codegen stage from the scan — the
+    // PLAN went from scan -> Exchange(doc_id) -> Sort -> Window ->
+    // generate to scan -> generate, zero shuffles.
+    val lines = split(col("text"), "\r?\n")
+    val withPrev = zip_with(
+      lines,
+      concat(array(lit(null).cast("string")),
+        slice(lines, lit(1), greatest(size(lines) - 1, lit(0)))),
+      (l, p) => struct(l.as("ltxt"), p.as("prev")))
     pages
+      .select(col("doc_id"), posexplode(withPrev).as(Seq("ln0", "lp")))
+      .select(col("doc_id"), col("ln0"),
+        col("lp.ltxt").as("ltxt"), col("lp.prev").as("prev"))
+      .withColumn("_ind",
+        (length(col("ltxt")) - length(ltrim(col("ltxt")))).cast("int"))
+      .withColumn("_g_kw", col("ltxt").rlike(KwAnyRx))
+      .withColumn("_g_tm", col("ltxt").rlike(TypedMethodRx))
+      .withColumn("_g_sg", col("ltxt").rlike(SingletonRx))
+      .withColumn("_g_prev",
+        coalesce(col("prev").rlike(CTypeLineRx), lit(false)) &&
+          coalesce(!col("prev").rlike(KwAnyRx), lit(false)))
       .select(col("doc_id"),
-        posexplode(split(col("text"), "\r?\n")).as(Seq("ln0", "ltxt")))
-      .withColumn("prev", lag("ltxt", 1).over(w))
-      .select(col("doc_id"), explode(array(arms: _*)).as("s"))
-      .where(col("s.ok") && length(col("s.name")) > 2)
+        explode(filter(array(arms: _*),
+          s => s.getField("ok") && length(s.getField("name")) > 2)).as("s"))
       .select(col("doc_id"), col("s.name").as("name"),
         col("s.kind").as("kind"), col("s.line").as("line"),
         col("s.column").as("column"), lit(true).as("is_definition"))
