@@ -420,7 +420,7 @@ object SparkEntry {
       val q = e.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble)
       import s.implicits._
-      val cents = Similarity.centroids(e, "vec_id", "embedding", 8)
+      val cents = Similarity.centroids(e, "vec_id", "embedding", 8, dim = q.length)
         .as[(Long, Seq[Double])].collect().toSeq
         .map { case (c, v) => (c.toInt, v) }.sortBy(_._1)
       val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
@@ -446,10 +446,11 @@ object SparkEntry {
       val q = e.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble)
       import s.implicits._
-      val cents = Similarity.centroids(e, "vec_id", "embedding", 8)
+      val cents = Similarity.centroids(e, "vec_id", "embedding", 8, dim = q.length)
         .as[(Long, Seq[Double])].collect().toSeq
         .map { case (c, v) => (c.toInt, v) }.sortBy(_._1)
-      val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", PqSub, PqCodes)
+      val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", PqSub, PqCodes,
+        dim = q.length)
       val assigned = Similarity.pqEncode(
         Similarity.ivfAssign(e, "vec_id", "embedding", cents), "embedding", cbs)
       Similarity.ivfPqTopK(assigned, "vec_id", "embedding", cents, cbs, q,

@@ -80,11 +80,24 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
     */
   lazy val tfRows: DataFrame = spark.read.parquet(s"$path/tf")
 
+  /** Builder-side presets (round 8): a fresh build KNOWS its stats and
+    * blocks metadata — re-reading the just-written single-row tables cost
+    * 4 driver jobs per build. Loads from disk still lazy-read as before.
+    */
+  @volatile private var presetBlocksMeta: Option[(Int, Int)] = null
+  @volatile private var presetStats: IndexStats = null
+  @volatile private var presetCodec: String = null
+  private[index] def preset(meta: Option[(Int, Int)], st: IndexStats,
+      codec: String): this.type = {
+    presetBlocksMeta = meta; presetStats = st; presetCodec = codec; this
+  }
+
   /** (num_buckets, block_bits) recorded at build time; None for a legacy
     * (pre-bucketed) blocks layout.
     */
   lazy val blocksMeta: Option[(Int, Int)] =
-    try {
+    if (presetBlocksMeta != null) presetBlocksMeta
+    else try {
       val r = spark.read.parquet(s"$path/blocks_meta").head()
       Some((r.getInt(0), r.getInt(1)))
     } catch { case _: Throwable => None }
@@ -93,7 +106,8 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
     * "q8" (8-bit quantized, ~8x smaller impact payloads).
     */
   lazy val impactCodec: String =
-    try {
+    if (presetCodec != null) presetCodec
+    else try {
       val df = spark.read.parquet(s"$path/blocks_meta")
       if (df.columns.contains("impact_codec"))
         df.head().getAs[String]("impact_codec")
@@ -130,10 +144,12 @@ class BuiltIndex(val spark: SparkSession, val path: String) {
       spark.table(t)
     case None => spark.read.parquet(s"$path/blocks")
   }
-  lazy val stats: IndexStats = {
-    import spark.implicits._
-    spark.read.parquet(s"$path/stats").as[IndexStats].head()
-  }
+  lazy val stats: IndexStats =
+    if (presetStats != null) presetStats
+    else {
+      import spark.implicits._
+      spark.read.parquet(s"$path/stats").as[IndexStats].head()
+    }
 
   /** Pin the hot query-path tables in executor memory (spill-to-disk) and
     * materialize them — the serving-mode analog of the reference holding
@@ -437,8 +453,9 @@ object IndexBuilder {
     // big intermediates are zstd (better ratio than the snappy default;
     // the build is bandwidth-bound, so fewer bytes written+read back wins
     // over the extra compressor CPU)
-    pagesDf
-      .select(col("doc_id"), col("url"), col("text"))
+    // Par.spread: a single-file corpus otherwise runs the safety UDF —
+    // and every downstream stage reading the written pages — as one task
+    graft.Par.spread(pagesDf.select(col("doc_id"), col("url"), col("text")))
       .where(Extract.safe(col("text")))
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$outDir/pages")
@@ -589,10 +606,12 @@ object IndexBuilder {
     fDims.foreach(Await.result(_, Duration.Inf))
 
     val numPostings = postObs.get("n").asInstanceOf[Long]
-    Seq(IndexStats(numDocs, totalTokens, avgdl, numTerms, numPostings))
-      .toDS().write.mode("overwrite").parquet(s"$outDir/stats")
+    val st = IndexStats(numDocs, totalTokens, avgdl, numTerms, numPostings)
+    Seq(st).toDS().write.mode("overwrite").parquet(s"$outDir/stats")
 
     new BuiltIndex(spark, outDir)
+      .preset(Some((buckets, blockBits)), st,
+        if (quantizeImpacts) "q8" else "f64")
   }
 
   /** S4 extraction front end: raw pages (url, warc_ts, html, ...) ->

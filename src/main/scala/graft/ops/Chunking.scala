@@ -101,25 +101,36 @@ object Chunking {
     require(sizeLines > 0 && overlap >= 0 && overlap < sizeLines,
       "need 0 <= overlap < sizeLines")
     val step = sizeLines - overlap
-    // \r?\n like the reference's content.lines() (Rust strips the \r)
-    val lines = pages.select(col("doc_id"),
-      posexplode(split(col("text"), "\r?\n")).as(Seq("ln0", "line")))
-    // line L belongs to chunks c with c*step <= L < c*step + size:
-    // c_min = 0 for L < size else (L - size)/step + 1, c_max = L/step
-    // (all values nonnegative, so double-divide + trunc-cast is exact)
-    val cMin = when(col("ln0") < sizeLines, lit(0L))
-      .otherwise(((col("ln0") - sizeLines) / step).cast("long") + 1)
-    val cMax = (col("ln0") / step).cast("long")
-    lines
-      .select(col("doc_id"), col("ln0"), col("line"),
-        explode(sequence(cMin, cMax)).as("chunk"))
-      .groupBy("doc_id", "chunk")
-      .agg(
-        min("ln0").as("start_line"),
-        max("ln0").as("end_line"),
-        count(lit(1)).as("n_lines"),
-        concat_ws("\n",
-          transform(array_sort(collect_list(struct(col("ln0"), col("line")))),
-            _.getField("line"))).as("chunk_text"))
+    // round 8: chunks are computed directly in the ARRAY domain — chunk c
+    // of a doc with n lines covers lines [c*step, min(c*step+size, n)),
+    // for c in 0..(n-1)/step, so one narrow transform+explode per doc
+    // derives every chunk record in place. The round-7 shape exploded
+    // per-LINE membership and reassembled chunks through a
+    // groupBy(doc_id, chunk) Exchange + ObjectHashAggregate
+    // (collect_list + array_sort) — an object-buffer aggregation of text
+    // it already held, the same GC-bound shape the round-2 blocks-encode
+    // rewrite retired. Plan: Generate+Project from the scan, ZERO
+    // Exchange. (Nonnegative double-divide + trunc-cast is exact, as
+    // before; \r?\n like the reference's content.lines().)
+    graft.Par.spread(pages)
+      .select(col("doc_id"), split(col("text"), "\r?\n").as("_lines"))
+      .select(col("doc_id"), col("_lines"), size(col("_lines")).as("_n"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0L), ((col("_n") - 1) / step).cast("long")),
+          c => {
+            val start = (c * step).cast("int")
+            val len = least(lit(sizeLines), (col("_n") - c * step).cast("int"))
+            struct(c.as("chunk"), start.as("start_line"),
+              (start + len - 1).as("end_line"),
+              len.cast("long").as("n_lines"),
+              concat_ws("\n", slice(col("_lines"), start + 1, len))
+                .as("chunk_text"))
+          })).as("ch"))
+      .select(col("doc_id"), col("ch.chunk").as("chunk"),
+        col("ch.start_line").as("start_line"),
+        col("ch.end_line").as("end_line"),
+        col("ch.n_lines").as("n_lines"),
+        col("ch.chunk_text").as("chunk_text"))
   }
 }

@@ -94,7 +94,8 @@ object Dedup {
     */
   private def shingleArrays(df: DataFrame, id: String, text: String,
       n: Int): DataFrame =
-    df.select(col(id).as("sid"), Tokenizer.tokensCol(col(text)).as("toks"))
+    graft.Par.spread(df)
+      .select(col(id).as("sid"), Tokenizer.tokensCol(col(text)).as("toks"))
       .select(col("sid"), shinglesFromTokens(col("toks"), n).as("sarr"))
       .localCheckpoint()
 
@@ -306,7 +307,7 @@ object Dedup {
     // projects the arrays — round 7 tokenized the corpus twice and
     // attached est_j signatures the verified output discards; the first
     // round-8 cut still materialized arrays and signatures separately.
-    val shSig = df
+    val shSig = graft.Par.spread(df)
       .select(col(id).as("sid"), Tokenizer.tokensCol(col(text)).as("toks"))
       .select(col("sid"), shinglesFromTokens(col("toks"), n).as("sarr"))
       .withColumn("sig", sigExpr(col("sarr"), k))
@@ -572,7 +573,7 @@ object Dedup {
     // frame from BOTH sides — as raw lineage each side re-ran the
     // md5-per-token signature UDF over the whole corpus (round 8; same
     // lesson as the contraction-round and shingle-array barriers)
-    val withSig = df
+    val withSig = graft.Par.spread(df)
       .where(size(Tokenizer.tokensCol(col(text))) > 0)
       .select(col(id).as("sid"), simhash128(col(text)).as("sig"))
       .select(col("sid"), col("sig.hi").as("hi"), col("sig.lo").as("lo"))

@@ -52,15 +52,20 @@ object Similarity {
     * pmod(id, nlist). (One step of Lloyd's from a deterministic seed
     * assignment — no RNG, reproducible at any parallelism.)
     */
-  def centroids(df: DataFrame, id: String, vecCol: String, nlist: Int): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    val sums = (0 until dim).map(i =>
+  /** `dim` <= 0 probes the vector width with one tiny job; callers that
+    * already hold a query vector pass its length and skip the job
+    * (round 8 — the probe was one of the fixed per-query driver jobs).
+    */
+  def centroids(df: DataFrame, id: String, vecCol: String, nlist: Int,
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else df.select(size(col(vecCol))).head().getInt(0)
+    val sums = (0 until d).map(i =>
       sum(element_at(col(vecCol), i + 1).cast("double")).as(s"s$i"))
     df.select(pmod(col(id), lit(nlist)).as("cid"), col(vecCol))
       .groupBy("cid")
       .agg(count(lit(1)).as("cnt"), sums: _*)
       .select(col("cid"),
-        array((0 until dim).map(i => col(s"s$i") / col("cnt")): _*).as("centroid"))
+        array((0 until d).map(i => col(s"s$i") / col("cnt")): _*).as("centroid"))
   }
 
   /** Driver-side sample budget of [[centroidsKpp]] — the seeding sample
@@ -299,13 +304,13 @@ object Similarity {
     * construction. Returns codebooks(m)(c) = centroid slice (length D/M).
     */
   def pqCodebooks(df: DataFrame, id: String, vecCol: String,
-      numSub: Int, ncode: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
-    val cents = centroids(withUnitVec(df, vecCol), id, "_nv", ncode)
+      numSub: Int, ncode: Int, dim: Int = -1): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val cents = centroids(withUnitVec(df, vecCol), id, "_nv", ncode, dim)
       .orderBy("cid").collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
-    val dim = cents.head._2.size
-    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
-    val w = dim / numSub
+    val d = cents.head._2.size
+    require(d % numSub == 0, s"dim $d not divisible by numSub $numSub")
+    val w = d / numSub
     val byCid = cents.toMap
     (0 until numSub).map { m =>
       (0 until ncode).map { c =>

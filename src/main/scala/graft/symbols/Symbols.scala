@@ -73,7 +73,7 @@ object Symbols {
     val rx = "(?i)<(title|h[1-6]|a)(?:\\s[^>]*)?>([^<]*)</\\1\\s*>"
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id", "tag").orderBy(col("ord0").asc)
-    pages
+    graft.Par.spread(pages)
       .select(col("doc_id"),
         posexplode(regexp_extract_all(col("html"), lit(rx), lit(0)))
           .as(Seq("ord0", "m")))
@@ -238,7 +238,7 @@ object Symbols {
       concat(array(lit(null).cast("string")),
         slice(lines, lit(1), greatest(size(lines) - 1, lit(0)))),
       (l, p) => struct(l.as("ltxt"), p.as("prev")))
-    pages
+    graft.Par.spread(pages)
       .select(col("doc_id"), posexplode(withPrev).as(Seq("ln0", "lp")))
       .select(col("doc_id"), col("ln0"),
         col("lp.ltxt").as("ltxt"), col("lp.prev").as("prev"))
