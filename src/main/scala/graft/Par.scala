@@ -21,6 +21,23 @@ import org.apache.spark.sql.DataFrame
   * by construction.
   */
 object Par {
+
+  /** Small daemon pool for overlapping INDEPENDENT Spark actions of one
+    * logical operation (guide §2.6) — artifact writes, driver collects of
+    * unrelated dimensions. Concurrency never changes results: callers
+    * only parallelize actions with no data dependency.
+    */
+  lazy val ec: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-par-${n.getAndIncrement()}")
+            t.setDaemon(true); t
+          }
+        }))
+
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism

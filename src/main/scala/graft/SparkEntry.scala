@@ -446,11 +446,22 @@ object SparkEntry {
       val q = e.where(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble)
       import s.implicits._
-      val cents = Similarity.centroids(e, "vec_id", "embedding", 8, dim = q.length)
-        .as[(Long, Seq[Double])].collect().toSeq
-        .map { case (c, v) => (c.toInt, v) }.sortBy(_._1)
-      val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", PqSub, PqCodes,
-        dim = q.length)
+      // IVF centroids and PQ codebooks are independent driver collects —
+      // overlap them (guide §2.6); results are the same two literals
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = Par.ec
+      val fCents = Future {
+        Similarity.centroids(e, "vec_id", "embedding", 8, dim = q.length)
+          .as[(Long, Seq[Double])].collect().toSeq
+          .map { case (c, v) => (c.toInt, v) }.sortBy(_._1)
+      }
+      val fCbs = Future {
+        Similarity.pqCodebooks(e, "vec_id", "embedding", PqSub, PqCodes,
+          dim = q.length)
+      }
+      val cents = Await.result(fCents, Duration.Inf)
+      val cbs = Await.result(fCbs, Duration.Inf)
       val assigned = Similarity.pqEncode(
         Similarity.ivfAssign(e, "vec_id", "embedding", cents), "embedding", cbs)
       Similarity.ivfPqTopK(assigned, "vec_id", "embedding", cents, cbs, q,

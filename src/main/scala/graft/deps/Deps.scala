@@ -59,9 +59,10 @@ object Deps {
     // NO broadcast hint: a full-corpus url dictionary is doc-count-sized
     // (way past any executor broadcast budget at web scale) — the join
     // shuffles on the url key, and AQE upgrades it to a broadcast join at
-    // runtime whenever the dictionary actually is small
+    // runtime whenever the dictionary actually is small.
+    // Par.spread: the href regex scan is row-wise CPU work — see Par.
     resolveEdges(
-      pages.select(col("doc_id").as("from_doc"),
+      graft.Par.spread(pages).select(col("doc_id").as("from_doc"),
         explode(hrefs(col("html"))).as("import_key")),
       urlToDoc, broadcastTargets = false)
 

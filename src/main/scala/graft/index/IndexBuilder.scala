@@ -454,11 +454,17 @@ object IndexBuilder {
     // the build is bandwidth-bound, so fewer bytes written+read back wins
     // over the extra compressor CPU)
     // Par.spread: a single-file corpus otherwise runs the safety UDF —
-    // and every downstream stage reading the written pages — as one task
+    // and every downstream stage reading the written pages — as one task.
+    // The row count rides as an Observation: it IS numDocs (docs = clean
+    // pages), letting the dictionary write start without waiting for the
+    // docs-dimension write (buildFromTf knownNumDocs).
+    val pagesObs = org.apache.spark.sql.Observation()
     graft.Par.spread(pagesDf.select(col("doc_id"), col("url"), col("text")))
       .where(Extract.safe(col("text")))
+      .observe(pagesObs, count(lit(1)).as("n"))
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$outDir/pages")
+    val numDocsKnown = pagesObs.get("n").asInstanceOf[Long]
     val docsClean = spark.read.parquet(s"$outDir/pages")
 
     val tf = termFrequencies(docsClean)
@@ -473,7 +479,7 @@ object IndexBuilder {
       .join(docLens, Seq("doc_id"), "left")
       .na.fill(0L, Seq("doc_len"))
     buildFromTf(spark, tfR, docs, outDir, blockBits, numBuckets,
-      quantizeImpacts)
+      quantizeImpacts, knownNumDocs = numDocsKnown)
   }
 
   /** Build the derived index tables (docs/terms/postings/blocks/stats)
@@ -488,30 +494,37 @@ object IndexBuilder {
       blockBits: Int = PostingBlocks.DefaultBlockBits,
       numBuckets: Int = -1,
       quantizeImpacts: Boolean = false,
-      maxBroadcastTerms: Long = DictBroadcastMaxTerms): BuiltIndex = {
+      maxBroadcastTerms: Long = DictBroadcastMaxTerms,
+      knownNumDocs: Long = -1L): BuiltIndex = {
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = IndexBuilder.buildEc
     val buckets =
       if (numBuckets > 0) numBuckets
       else spark.sessionState.conf.numShufflePartitions
 
     // A5 stats ride along as Observation metrics on the docs write (no
     // extra scan). avgdl = total_tokens / num_docs (exact: integer sums
-    // below 2^53 are order-independent in double).
+    // below 2^53 are order-independent in double). The write runs as a
+    // future: when the caller already knows numDocs (the batch build
+    // observes it on the pages write — docs are exactly the clean
+    // pages), the dictionary write below OVERLAPS the docs write; the
+    // stats that need the docs metrics (avgdl for impacts) await it
+    // right after.
     val docsObs = org.apache.spark.sql.Observation()
     // sorted within files so the per-query url attach (doc_id IN top-k)
     // prunes row groups instead of scanning the whole dimension
-    docsDim
-      .observe(docsObs, count(lit(1)).as("n"), sum("doc_len").as("tt"))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$outDir/docs")
-    val docsR = spark.read.parquet(s"$outDir/docs")
-
-    val numDocs = docsObs.get("n").asInstanceOf[Long]
-    val totalTokens = docsObs.get("tt") match {
-      case null => 0L
-      case x => x.asInstanceOf[Long]
+    val fDocs = Future {
+      docsDim
+        .observe(docsObs, count(lit(1)).as("n"), sum("doc_len").as("tt"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$outDir/docs")
     }
-    val avgdl = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs.toDouble
+    val numDocs =
+      if (knownNumDocs >= 0L) knownNumDocs
+      else { Await.result(fDocs, Duration.Inf)
+        docsObs.get("n").asInstanceOf[Long] }
 
     // A4/A2: term dictionary with df and idf (shared with the checkpointed
     // build; handles both tf schemas + the collision guard). The derived
@@ -522,12 +535,20 @@ object IndexBuilder {
     // instead of serializing 4 actions end to end.
     val numTerms = writeDictionaryMain(spark, tfR, numDocs, s"$outDir/terms")
     val termsR = spark.read.parquet(s"$outDir/terms")
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: scala.concurrent.ExecutionContext = IndexBuilder.buildEc
     val fDims = Seq(
       Future(writeTermsRev(spark, s"$outDir/terms")),
       Future(writeTermsNgrams(spark, s"$outDir/terms")))
+
+    Await.result(fDocs, Duration.Inf)
+    val docsR = spark.read.parquet(s"$outDir/docs")
+    val totalTokens = docsObs.get("tt") match {
+      case null => 0L
+      case x => x.asInstanceOf[Long]
+    }
+    require(knownNumDocs < 0L ||
+      docsObs.get("n").asInstanceOf[Long] == numDocs,
+      "knownNumDocs does not match the written docs dimension")
+    val avgdl = if (numDocs == 0) 0.0 else totalTokens.toDouble / numDocs.toDouble
 
     // Posting rows with precomputed BM25 impact. The serving artifact
     // needs only (term_id, doc_id, impact): tf is subsumed by the impact

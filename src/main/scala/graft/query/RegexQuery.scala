@@ -704,23 +704,43 @@ object RegexQuery {
     if (accel.nonEmpty || rankedLive.nonEmpty) {
       // resolve every literal's term_ids (tiny pruned dictionary jobs;
       // exact literals batch into ONE In(term) scan)
+      // round 8: the exact-literal scan and every distinct open literal's
+      // dictionary lookup are INDEPENDENT pruned scans — overlap them
+      // (guide §2.6); the collected id sets (and thus results) are
+      // unchanged. (The old serial loop skipped remaining lookups of an
+      // already-over-cap query — a shortcut, not a semantic.)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = graft.Par.ec
       val exactTexts = accel.flatMap(_.branches).flatten
         .filter(_.bothBound).map(_.text).distinct
-      val exactIds: Map[String, Array[Long]] =
+      val fExact: Future[Map[String, Array[Long]]] = Future {
         if (exactTexts.isEmpty) Map.empty
         else index.terms.where(col("term").isin(exactTexts.toSeq: _*))
           .select("term", "term_id").as[(String, Long)].collect()
           .groupBy(_._1).map { case (t, a) => t -> a.map(_._2) }
+      }
+      val distinctOpen = accel.flatMap(_.branches).flatten
+        .filterNot(_.bothBound)
+        .map(l => ((l.text, l.leftBound, l.rightBound), l)).toMap
+      val fOpen = distinctOpen.map { case (key, l) =>
+        key -> Future {
+          termIdsForLiteral(index, l)
+            .limit(MaxBatchLiteralTermIds + 1).as[Long].collect()
+        }
+      }
+      val exactIds = Await.result(fExact, Duration.Inf)
       val openIds = scala.collection.mutable.Map.empty[(String, Boolean, Boolean), Array[Long]]
       val overCap = scala.collection.mutable.Set.empty[Int]
+      val openResolved = fOpen.map { case (k, f) =>
+        k -> Await.result(f, Duration.Inf) }
       accel.foreach { pl =>
         pl.branches.flatten.foreach { l =>
-          if (!overCap(pl.qi) && !l.bothBound &&
-              !openIds.contains((l.text, l.leftBound, l.rightBound))) {
-            val ids = termIdsForLiteral(index, l)
-              .limit(MaxBatchLiteralTermIds + 1).as[Long].collect()
+          if (!l.bothBound) {
+            val key = (l.text, l.leftBound, l.rightBound)
+            val ids = openResolved(key)
             if (ids.length > MaxBatchLiteralTermIds) overCap += pl.qi
-            else openIds((l.text, l.leftBound, l.rightBound)) = ids
+            else openIds(key) = ids
           }
         }
       }

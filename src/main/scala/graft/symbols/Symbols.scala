@@ -318,15 +318,28 @@ object Symbols {
     * stand-in or [[extractWeb]]) under the artifact contract above.
     */
   def buildFrom(symbols: DataFrame, dir: String): Unit = {
-    val spark = symbols.sparkSession
-    symbols
-      .sortWithinPartitions("name")
-      .write.mode("overwrite").option("compression", "zstd")
-      .parquet(s"$dir/symbols")
-    spark.read.parquet(s"$dir/symbols")
-      .groupBy("name").agg(count(lit(1)).as("n"))
-      .sortWithinPartitions("name")
-      .write.mode("overwrite").parquet(s"$dir/symbol_names")
+    // round 8: extract ONCE into a materialization barrier, then write
+    // the fact table and the names dimension CONCURRENTLY from it
+    // (guide §2.6) — the old shape ran extraction for the symbols write,
+    // then re-read the written parquet to derive the dimension, strictly
+    // serially.
+    val syms = symbols.localCheckpoint()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Par.ec
+    Seq(
+      Future {
+        syms
+          .sortWithinPartitions("name")
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$dir/symbols")
+      },
+      Future {
+        syms
+          .groupBy("name").agg(count(lit(1)).as("n"))
+          .sortWithinPartitions("name")
+          .write.mode("overwrite").parquet(s"$dir/symbol_names")
+      }).foreach(Await.result(_, Duration.Inf))
   }
 
   /** Names a containment query may resolve to before the pushed-In plan
