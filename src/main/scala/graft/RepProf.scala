@@ -23,6 +23,22 @@ object RepProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // slow-job tracer: any Spark job over 2 s prints its first stage's
+    // callsite, so intermittent stalls attribute to a concrete operator
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId,
+            (System.nanoTime(), j.stageInfos.lastOption.map(_.name).getOrElse("?")))
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(starts.get(j.jobId)).foreach { case (t0, name) =>
+            val s = (System.nanoTime() - t0) / 1e9
+            if (s > 2.0) println(f"[slowjob] ${j.jobId}%3d $s%7.3f s  $name")
+          }
+      })
     SparkEntry.warmIndex(spark, sfDir)
     gates.foreach { name =>
       val fn = SparkEntry.queries(name)
