@@ -115,24 +115,43 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
       minJ: Double): DataFrame = {
     val shA = shingleArrays(df, id, text, n)
+    // round 8: the candidate phase is keyed by the 8-byte
+    // xxhash64(shingle), not the ~25-byte shingle string (guide §2.3
+    // "narrower types") — the rarity window, the prefix self-join and
+    // the distinct then shuffle (sid, h) longs only. Correctness does
+    // not rest on hash luck: the df aggregation carries a min/max
+    // string guard, so hash-equality ≡ shingle-equality or the operator
+    // RAISES (the exactByText / termId house pattern), and the PPJoin
+    // prefix guarantee holds under ANY consistent global total order —
+    // (df, h) with the guard is one. Candidates are still exactly
+    // verified against the full shingle arrays, so emitted pairs are
+    // identical.
     val sh = shA.select(col("sid"), explode(col("sarr")).as("s"))
+      .select(col("sid"), col("s"), xxhash64(col("s")).as("h"))
     // doc sizes read off the materialized arrays — the round-7 shape
     // paid a groupBy-count shuffle to recount what size(sarr) knows
     val sizes = shA.select(col("sid"), size(col("sarr")).cast("long").as("sz"))
       .where(col("sz") > 0)
-    val sdf = sh.groupBy("s").agg(count(lit(1)).as("sdf"))
+    val sdf = sh.groupBy("h").agg(count(lit(1)).as("sdf"),
+        min("s").as("smn"), max("s").as("smx"))
+      .select(col("h"),
+        when(col("smn") <=> col("smx"), col("sdf"))
+          .otherwise(raise_error(concat(
+            lit("xxhash64 collision in jaccardPairs shingle df: "),
+            substring(col("smn"), 1, 40), lit(" vs "),
+            substring(col("smx"), 1, 40)))).as("sdf"))
 
     // per-doc prefix of the (globally) rarest shingles
-    val w = Window.partitionBy("sid").orderBy(col("sdf").asc, col("s").asc)
-    val prefix = sh.join(sdf, Seq("s")).join(sizes, Seq("sid"))
+    val w = Window.partitionBy("sid").orderBy(col("sdf").asc, col("h").asc)
+    val prefix = sh.select("sid", "h").join(sdf, Seq("h")).join(sizes, Seq("sid"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("sz") - ceil(lit(minJ) * col("sz")) + 1)
-      .select(col("sid"), col("s"), col("sz"))
+      .select(col("sid"), col("h"), col("sz"))
 
     // candidate generation on prefixes + length filter (j <= min/max)
-    val x = prefix.toDF("a", "s", "na")
-    val y = prefix.toDF("b", "s", "nb")
-    val cands = x.join(y, Seq("s"))
+    val x = prefix.toDF("a", "h", "na")
+    val y = prefix.toDF("b", "h", "nb")
+    val cands = x.join(y, Seq("h"))
       .where(col("a") < col("b") &&
         least(col("na"), col("nb")).cast("double") >=
           lit(minJ) * greatest(col("na"), col("nb")).cast("double"))
