@@ -664,6 +664,9 @@ object RegexQuery {
       maxCollectRows: Long = Bm25Query.MaxBatchCollectRows): Seq[Vector[Hit]] = {
     val spark = index.spark
     import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = graft.Par.ec
     val kk = math.max(1, math.min(k, 1000))
     val out = scala.collection.mutable.Map.empty[Int, Vector[Hit]]
     def rxOf(p: String) = "(?is)" + p
@@ -680,6 +683,22 @@ object RegexQuery {
       else if (branches.nonEmpty) accel += Planned(qi, branches)
       else fullscan += qi
     }
+
+    // full-scan class launched NOW as a future (consumed further down):
+    // it reads only the content table, independent of every other leg
+    val fFullscan: Future[Array[(Int, Long)]] =
+      if (fullscan.isEmpty) Future.successful(Array.empty)
+      else Future {
+        val tagged = fullscan.map(qi =>
+          when(regexp_like(col("text"), lit(rxOf(patterns(qi)))), lit(qi)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qi").orderBy(col("doc_id").asc)
+        pagesText.select(col("doc_id"),
+            explode(filter(array(tagged.toSeq: _*), x => x.isNotNull)).as("qi"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= kk)
+          .select("qi", "doc_id").as[(Int, Long)].collect()
+      }
 
     // ---- ranked class: driver-side term analysis only (round 7 — the
     // round-6 shape paid one scoredNaive collect job PER ranked pattern,
@@ -709,9 +728,6 @@ object RegexQuery {
       // (guide §2.6); the collected id sets (and thus results) are
       // unchanged. (The old serial loop skipped remaining lookups of an
       // already-over-cap query — a shortcut, not a semantic.)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: scala.concurrent.ExecutionContext = graft.Par.ec
       val exactTexts = accel.flatMap(_.branches).flatten
         .filter(_.bothBound).map(_.text).distinct
       val fExact: Future[Map[String, Array[Long]]] = Future {
@@ -847,16 +863,12 @@ object RegexQuery {
     }
 
     // ---- full-scan class: ONE content pass for every scan query ----
+    // awaited here, LAUNCHED before the accel/ranked postings+verify
+    // legs (round 8, guide §2.6): the scan shares no data with them, so
+    // its content pass back-fills the cluster while the other classes'
+    // driver round trips run
     if (fullscan.nonEmpty) {
-      val tagged = fullscan.map(qi =>
-        when(regexp_like(col("text"), lit(rxOf(patterns(qi)))), lit(qi)))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qi").orderBy(col("doc_id").asc)
-      val rows = pagesText.select(col("doc_id"),
-          explode(filter(array(tagged.toSeq: _*), x => x.isNotNull)).as("qi"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= kk)
-        .select("qi", "doc_id").as[(Int, Long)].collect()
+      val rows = Await.result(fFullscan, Duration.Inf)
       val byQ = rows.groupBy(_._1)
       fullscan.foreach { qi =>
         out(qi) = byQ.getOrElse(qi, Array.empty[(Int, Long)]).map(_._2).sorted.take(kk)
