@@ -42,8 +42,17 @@ object SparkEntry {
         concat(lit("doc-"), col("doc_id")).as("url"),
         col("text"))
       // serving mode for the query gates: hot block/terms tables +
-      // driver dictionary (query analysis without a Spark job)
-      IndexBuilder.build(s, pages, out).cacheHot().cacheDictionary()
+      // driver dictionary (query analysis without a Spark job); the two
+      // warm-ups are independent (counts vs a dictionary collect) and
+      // overlap (guide §2.6)
+      val built = IndexBuilder.build(s, pages, out)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = Par.ec
+      val fHot = Future(built.cacheHot())
+      val fDict = Future(built.cacheDictionary())
+      Await.result(fHot, Duration.Inf); Await.result(fDict, Duration.Inf)
+      built
     })
 
   /** DuckDB twin of the symbols-search semantics (shared by the scan and

@@ -54,8 +54,10 @@ object Chunking {
   def symbolChunks(pages: DataFrame, symbols: DataFrame,
       maxLines: Int = MaxSymbolChunkLines): DataFrame = {
     // \r?\n: the reference's content.lines() strips the \r of CRLF
-    // endings (Rust str::lines semantics) — chunk text must not keep it
-    val withLines = pages.select(col("doc_id"),
+    // endings (Rust str::lines semantics) — chunk text must not keep it.
+    // Par.spread: the symbols side broadcasts, so the slice/concat text
+    // work lands on THIS side's partitions — see Par.
+    val withLines = graft.Par.spread(pages).select(col("doc_id"),
       split(col("text"), "\r?\n").as("_lines"))
     symbols
       .select(col("doc_id"), col("name"), col("kind"), col("line"))
