@@ -426,7 +426,8 @@ object Dedup {
     * drop would leave two docs un-clustered with no signal.
     */
   def connectedComponents(pairs: DataFrame, a: String = "a",
-      b: String = "b", maxIter: Int = 50): DataFrame = {
+      b: String = "b", maxIter: Int = 50,
+      driverMaxEdges: Long = DriverComponentsMaxEdges): DataFrame = {
     // (count, hash-xor) digest: an order-free edge-SET fingerprint (the
     // frame is distinct, so xor never self-cancels; sum would overflow
     // under ANSI); one single-row aggregate per round on a checkpointed
@@ -450,7 +451,7 @@ object Dedup {
     // driver union-find shortcut (round 8; bounded + documented above)
     val longIds = e.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
-    if (longIds && d._1 <= DriverComponentsMaxEdges) {
+    if (longIds && d._1 <= driverMaxEdges) {
       val spark = e.sparkSession
       import spark.implicits._
       val edges = e.as[(Long, Long)].collect()
