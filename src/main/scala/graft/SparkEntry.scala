@@ -381,6 +381,9 @@ object SparkEntry {
     // fixed fallback for the rest — symbols are dropped for doc_id%3==0
     // so the gate exercises BOTH branches
     "chunk_typed" -> ((s, dir) => {
+      // (round 8: checkpointing the view here was tried and measured
+      // SLOWER — the materialization outweighs deriving the cheap
+      // projection three times; left as lineage)
       val cv = codeView(s, dir)
       val syms = Symbols.extractCode(cv)
         .where(pmod(col("doc_id"), lit(3)) =!= 0)
