@@ -42,8 +42,21 @@ object Par {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-    if (target > 1 &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(maxPart))
+    val plan = df.queryExecution.optimizedPlan
+    // FILE-source leaves only: their size statistics are the actual file
+    // bytes, so "smaller than one scan split" is a fact. Generated /
+    // in-memory / checkpointed sources estimate garbage (a synthetic
+    // 200k-doc corpus estimated ~8 B/row and would have been shuffled
+    // whole) and already carry their creator's chosen parallelism —
+    // never touched.
+    val allFileLeaves = plan.collectLeaves().forall {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      case _ => false
+    }
+    if (target > 1 && allFileLeaves &&
+        plan.stats.sizeInBytes < BigInt(maxPart))
       df.repartition(target)
     else df
   }

@@ -61,12 +61,22 @@ class R8OptSpec extends AnyFunSuite {
     }
   }
 
-  test("Par.spread is content-invariant and at most a repartition") {
-    val df = spark.range(0, 1000).select(col("id"),
+  test("Par.spread is content-invariant and fires only on small file scans") {
+    // generated (non-file) source: size estimates are unreliable, the
+    // creator chose the parallelism — spread must be the identity
+    val gen = spark.range(0, 1000).select(col("id"),
       concat(lit("payload-"), col("id")).as("s"))
-    val spreadDf = Par.spread(df)
+    assert(Par.spread(gen) eq gen)
+    // small parquet source: spread repartitions, content unchanged
+    val dir = java.nio.file.Files.createTempDirectory("r8-spread").toString
+    gen.coalesce(1).write.mode("overwrite").parquet(dir)
+    val file = spark.read.parquet(dir)
+    val spreadDf = Par.spread(file)
+    assert(!(spreadDf eq file))
+    assert(spreadDf.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
     assert(spreadDf.as[(Long, String)].collect().toSet ==
-      df.as[(Long, String)].collect().toSet)
-    assert(spreadDf.schema == df.schema)
+      file.as[(Long, String)].collect().toSet)
+    assert(spreadDf.schema == file.schema)
   }
 }
